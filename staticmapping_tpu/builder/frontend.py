@@ -1,0 +1,163 @@
+"""Scan-matching front end: the odometry loop.
+
+Host-side re-expression of ``MapBuilder::ScanMatchProcessing``
+(builder/map_builder.cc:260-397). The reference runs this in its own thread
+fed by queues; here it is a plain sequential loop (the serial dependency is
+fundamental — scan t needs pose t−1, SURVEY §7.3) whose heavy steps are
+jitted device programs:
+
+  * target normal estimation (`ops.normals.estimate_normals`)
+  * per-point motion compensation (`PointCloud.motion_compensate`)
+  * point-to-plane ICP (`registration.icp_fast.align_point_to_plane`)
+
+Semantics parity, step by step against map_builder.cc:
+  first cloud → becomes target + first keyframe at identity  (cc:281-293)
+  guess = pose_target⁻¹ · extrapolated(t), normalized        (cc:302-309)
+  motion-compensate source by accum⁻¹·guess                  (cc:313-328)
+  align; optionally average(align_result, guess) and
+  re-compensate with accum⁻¹·average                         (cc:330-354)
+  pose_source = pose_target · align_result; accum = result   (cc:356-357)
+  motion filter: translation ≥ range OR Σ|euler|° ≥ range →
+  new keyframe, source becomes target (re-normal-ed)         (cc:369-392)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..common import np_se3
+from ..data import cloud as cloud_lib
+from ..data.cloud import PointCloud
+from ..ops.normals import estimate_normals
+from ..registration.icp_fast import align_point_to_plane
+from .frame import Frame
+from .pose_extrapolator import PoseExtrapolator
+
+
+@dataclasses.dataclass
+class MotionFilterOptions:
+    """front_end::Options::motion_filter (map_builder.h:79-83)."""
+
+    translation_range: float = 0.35
+    angle_range: float = 1.5       # degrees (sum of |euler|)
+    time_range: float = 0.0
+
+
+@dataclasses.dataclass
+class FrontEndOptions:
+    """front_end::Options parity (map_builder.h:68-91)."""
+
+    motion_filter: MotionFilterOptions = dataclasses.field(
+        default_factory=MotionFilterOptions)
+    accumulate_cloud_num: int = 1
+    motion_compensation: bool = True
+    use_average: bool = True
+    # matcher knobs (icp_fast.h:56-60)
+    max_iteration: int = 100
+    dist_outlier_ratio: float = 0.7
+    # TPU shape knobs
+    scan_capacity: int = 32768
+    target_leaf_size: int = 8
+    nn_tile: int = 1024
+
+
+@jax.jit
+def _compensate(cloud: PointCloud, delta: jax.Array) -> PointCloud:
+    return cloud.motion_compensate(delta)
+
+
+class FrontEnd:
+    """Feed scans in time order via :meth:`process`; returns a new keyframe
+    ``Frame`` when the motion filter fires, else None."""
+
+    def __init__(self, options: FrontEndOptions = None,
+                 filter_chain: Optional[Callable[[PointCloud], PointCloud]] = None,
+                 extrapolator: Optional[PoseExtrapolator] = None):
+        self.options = options or FrontEndOptions()
+        self.filter_chain = filter_chain
+        self.extrapolator = extrapolator or PoseExtrapolator.initial_simple_ctrv()
+        self.pose_target = np.eye(4)
+        self.accumulative = np.eye(4)
+        self.target = None            # NormalCloud on device
+        self.got_first = False
+        self.last_score = 1.0
+        self.num_scans = 0
+
+    # ------------------------------------------------------------------
+    def _prepare(self, points: np.ndarray) -> PointCloud:
+        pc = cloud_lib.from_numpy(points,
+                                  capacity=self.options.scan_capacity)
+        if self.filter_chain is not None:
+            pc = self.filter_chain(pc)
+        return pc
+
+    def process(self, stamp: float, points: np.ndarray) -> Optional[Frame]:
+        opts = self.options
+        self.num_scans += 1
+        pc = self._prepare(points)
+
+        if not self.got_first:
+            self.got_first = True
+            self.target = estimate_normals(pc.compact(),
+                                           leaf_size=opts.target_leaf_size)
+            self.extrapolator.add_pose(stamp, np.eye(4))
+            self.pose_target = np.eye(4)
+            return Frame(stamp=stamp, cloud=pc, global_pose=np.eye(4),
+                         match_score=1.0)
+
+        last_t = self.extrapolator.last_pose_time()
+        if last_t is not None and stamp < last_t:
+            # stale scan (map_builder.cc:296-301): resync target
+            self.target = estimate_normals(pc.compact(),
+                                           leaf_size=opts.target_leaf_size)
+            return None
+
+        pose_source = self.extrapolator.extrapolate_pose(stamp)
+        guess = np_se3.normalize_rotation(
+            np_se3.inverse(self.pose_target) @ pose_source)
+
+        source = pc
+        if opts.motion_compensation:
+            delta = np_se3.inverse(self.accumulative) @ guess
+            source = _compensate(pc, jnp.asarray(delta, dtype=jnp.float32))
+
+        T_align, score = align_point_to_plane(
+            source, self.target, jnp.asarray(guess, dtype=jnp.float32),
+            dist_outlier_ratio=opts.dist_outlier_ratio,
+            max_iteration=opts.max_iteration,
+            tile=opts.nn_tile)
+        align_result = np.asarray(T_align, dtype=np.float64)
+        align_result = np_se3.normalize_rotation(align_result)
+        self.last_score = float(score)
+
+        if opts.motion_compensation:
+            if opts.use_average:
+                align_result = np_se3.average_transforms(
+                    [align_result, guess])
+            source = _compensate(
+                pc, jnp.asarray(np_se3.inverse(self.accumulative)
+                                @ align_result, dtype=jnp.float32))
+
+        pose_source = self.pose_target @ align_result
+        self.accumulative = align_result
+        self.extrapolator.add_pose(stamp, pose_source)
+
+        # motion filter (map_builder.cc:369-392)
+        accu_translation = np_se3.translation_norm(self.accumulative)
+        accu_angles = np_se3.rotation_angles_abs_sum_deg(self.accumulative)
+        mf = opts.motion_filter
+        if (accu_translation >= mf.translation_range or
+                (mf.angle_range > 1e-3 and accu_angles >= mf.angle_range)):
+            frame = Frame(stamp=stamp, cloud=source,
+                          global_pose=pose_source,
+                          match_score=self.last_score)
+            self.accumulative = np.eye(4)
+            self.target = estimate_normals(source.compact(),
+                                           leaf_size=opts.target_leaf_size)
+            self.pose_target = pose_source
+            return frame
+        return None
