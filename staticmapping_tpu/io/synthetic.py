@@ -21,8 +21,8 @@ class World:
     points: np.ndarray  # [M, 3] global structure points
 
 
-def make_world(seed: int = 0, extent: float = 160.0,
-               n_buildings: int = 60, density: float = 4.0) -> World:
+def make_world(seed: int = 0, extent: float = 120.0,
+               n_buildings: int = 150, density: float = 12.0) -> World:
     """Urban-ish world: box buildings + poles. Ground is sampled
     procedurally per scan in :func:`render_scan` (real LiDAR sees dense
     near-field ground; a fixed global carpet would be far too sparse)."""
@@ -69,6 +69,31 @@ def figure_eight_trajectory(n_poses: int, radius: float = 60.0,
         R = np_se3.euler_to_matrix(np.array([0.0, 0.0, yaw]))
         t = np.array([xs[i], ys[i], 1.8])
         poses.append(np_se3.from_rt(R, t))
+    return poses
+
+
+def square_loop_trajectory(side_steps: int = 10, step: float = 1.0,
+                           corner_steps: int = 12, overlap: int = 4
+                           ) -> List[np.ndarray]:
+    """Closed square loop returning to (and passing) the start — the
+    loop-closure test trajectory."""
+    poses = []
+    x, y, yaw = 0.0, 0.0, 0.0
+    total = 4 * (side_steps + corner_steps) + overlap
+    leg = 0
+    step_in_leg = 0
+    for _ in range(total):
+        R = np_se3.euler_to_matrix(np.array([0.0, 0.0, yaw]))
+        poses.append(np_se3.from_rt(R, np.array([x, y, 1.8])))
+        in_corner = step_in_leg >= side_steps
+        if in_corner:
+            yaw += (np.pi / 2) / corner_steps
+        x += step * np.cos(yaw)
+        y += step * np.sin(yaw)
+        step_in_leg += 1
+        if step_in_leg >= side_steps + corner_steps:
+            step_in_leg = 0
+            leg += 1
     return poses
 
 
@@ -127,7 +152,7 @@ def render_scan(world: World, pose: np.ndarray, max_range: float = 70.0,
 
 def make_sequence(n_scans: int = 50, seed: int = 0, trajectory: str = "straight",
                   step: float = 1.0, yaw_rate: float = 0.0,
-                  max_points: int = 20000
+                  max_points: int = 20000, max_range: float = 70.0
                   ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
     """Returns (scans [each [N,4] sensor-frame], gt_poses)."""
     world = make_world(seed=seed)
@@ -135,8 +160,12 @@ def make_sequence(n_scans: int = 50, seed: int = 0, trajectory: str = "straight"
         poses = straight_trajectory(n_scans, step=step, yaw_rate=yaw_rate)
     elif trajectory == "eight":
         poses = figure_eight_trajectory(n_scans)
+    elif trajectory == "square":
+        poses = square_loop_trajectory(step=step)[:n_scans] \
+            if n_scans else square_loop_trajectory(step=step)
     else:
         raise ValueError(trajectory)
-    scans = [render_scan(world, p, seed=seed + 17 * i, max_points=max_points)
+    scans = [render_scan(world, p, seed=seed + 17 * i, max_points=max_points,
+                         max_range=max_range)
              for i, p in enumerate(poses)]
     return scans, poses
