@@ -18,10 +18,13 @@ import jax.numpy as jnp
 
 from ..common import np_se3
 from ..io import kitti as kitti_io
+from ..io import pcd as pcd_io
 from ..ops.normals import estimate_normals
 from ..registration.icp_fast import align_point_to_plane
 from .frame import Frame, Submap, SubmapOptions, Trajectory
 from .frontend import FrontEnd, FrontEndOptions
+from .map_package import MapPackageOptions, save_trajectory
+from .mrvm import MrvmSettings, MultiResolutionVoxelMap
 
 
 @dataclasses.dataclass
@@ -33,6 +36,13 @@ class MapBuilderOptions:
     submap: SubmapOptions = dataclasses.field(default_factory=SubmapOptions)
     export_file_path: str = "./"
     output_kitti_pose: bool = True
+    output_mrvm: bool = True
+    output_direct_combined_map: bool = True
+    save_map_package: bool = False
+    mrvm_settings: MrvmSettings = dataclasses.field(
+        default_factory=MrvmSettings)
+    map_package: MapPackageOptions = dataclasses.field(
+        default_factory=MapPackageOptions)
     submap_capacity: int = 65536
     # back_end submap matcher (registrators/interface.h:61)
     submap_matcher_accepted_min_score: float = 0.7
@@ -110,19 +120,69 @@ class MapBuilder:
     # ------------------------------------------------------------------
     def finish(self) -> None:
         """FinishAllComputations-equivalent (map_builder.cc:715-746):
-        flush, run final optimization, write outputs."""
-        # drop a trailing unfinished submap's pending frames into the pose
-        # list anyway (they still carry odometry poses)
+        flush, run final optimization, write outputs (SaveMaps cc:825-911)."""
         if self.backend is not None:
             self.backend.run_final_optimization(self.trajectory)
             for s in self.trajectory:
                 s.update_inner_frame_poses()
+
+        out_dir = self.options.export_file_path
+        os.makedirs(out_dir, exist_ok=True)
+
         if self.options.output_kitti_pose:
-            os.makedirs(self.options.export_file_path, exist_ok=True)
-            kitti_io.write_poses(
-                os.path.join(self.options.export_file_path,
-                             "kitti_pose.txt"),
-                self.submap_poses())
+            kitti_io.write_poses(os.path.join(out_dir, "kitti_pose.txt"),
+                                 self.submap_poses())
+        self._output_path_files(out_dir)
+
+        if self.options.output_mrvm or self.options.output_direct_combined_map:
+            self._save_maps(out_dir)
+
+        if self.options.save_map_package:
+            save_trajectory(self.trajectory,
+                            os.path.join(out_dir, "map_package"),
+                            self.options.map_package)
+
+    def _output_path_files(self, out_dir: str) -> None:
+        """OutputPath parity (map_builder.cc:615-642 + trajectory path
+        export): path.csv with stamp + translation + quaternion."""
+        rows = []
+        for s in self.trajectory:
+            for f in s.frames:
+                q = np_se3.matrix_to_quat(f.global_pose[:3, :3])
+                t = f.global_pose[:3, 3]
+                rows.append([f.stamp, *t, *q])
+        if rows:
+            np.savetxt(os.path.join(out_dir, "path.csv"),
+                       np.asarray(rows),
+                       header="stamp x y z qw qx qy qz", comments="# ")
+
+    def _save_maps(self, out_dir: str) -> None:
+        """SaveMaps parity (map_builder.cc:825-911): transform every
+        submap's cloud to its final global pose; ray-cast into the MRVM for
+        the static map; optionally also write the direct combined map."""
+        import jax.numpy as jnp
+        mrvm = MultiResolutionVoxelMap(self.options.mrvm_settings) \
+            if self.options.output_mrvm else None
+        combined = []
+        for s in self.trajectory:
+            if s.cloud is None:
+                continue
+            global_cloud = s.cloud.transform(
+                jnp.asarray(s.global_pose, dtype=jnp.float32))
+            if mrvm is not None:
+                mrvm.insert_point_cloud(global_cloud, s.global_pose[:3, 3])
+            if self.options.output_direct_combined_map:
+                combined.append(np.asarray(
+                    np.column_stack([
+                        np.asarray(global_cloud.xyz)[np.asarray(global_cloud.mask)],
+                        np.asarray(global_cloud.intensity)[np.asarray(global_cloud.mask)],
+                    ])))
+        if mrvm is not None and mrvm.num_voxels:
+            pcd_io.write_pcd(os.path.join(out_dir, "static_map.pcd"),
+                             mrvm.output_to_numpy())
+        if combined:
+            pcd_io.write_pcd(os.path.join(out_dir, "whole_map.pcd"),
+                             np.vstack(combined))
 
     def submap_poses(self) -> List[np.ndarray]:
         return [s.global_pose for s in self.trajectory]

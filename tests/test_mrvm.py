@@ -1,0 +1,85 @@
+import numpy as np
+import jax.numpy as jnp
+
+from staticmapping_tpu.builder.mrvm import MultiResolutionVoxelMap, MrvmSettings
+from staticmapping_tpu.data import cloud as cloud_lib
+
+
+def scan_of(points):
+    return cloud_lib.from_numpy(np.asarray(points, dtype=np.float32),
+                                capacity=2048)
+
+
+def test_static_surface_survives():
+    rng = np.random.default_rng(0)
+    m = MultiResolutionVoxelMap(MrvmSettings(max_ray_steps=64))
+    wall = np.column_stack([np.full(300, 10.0), rng.uniform(-3, 3, 300),
+                            rng.uniform(0, 2, 300)])
+    # the same wall seen from two origins, several times
+    for k in range(4):
+        m.insert_point_cloud(scan_of(wall + rng.normal(0, 0.01, wall.shape)),
+                             origin=np.array([0.0, 0, 1.0]))
+    out = m.output_to_numpy()
+    assert out.shape[0] > 50
+    assert np.all(np.abs(out[:, 0] - 10.0) < 0.5)
+
+
+def test_dynamic_object_removed():
+    rng = np.random.default_rng(1)
+    m = MultiResolutionVoxelMap(MrvmSettings(max_ray_steps=256))
+    # tall wall so rays from the origin sweep the car's whole z-extent
+    # (voxels in a ray shadow survive — same as the reference)
+    wall = np.column_stack([np.full(1500, 12.0), rng.uniform(-3, 3, 1500),
+                            rng.uniform(-1.5, 3, 1500)])
+    car = np.column_stack([np.full(150, 5.0), rng.uniform(-1, 1, 150),
+                           rng.uniform(0, 1, 150)])
+    # scan 0: car present between sensor and wall (car occludes nothing here
+    # since both rendered); scans 1..5: car gone → rays pass through
+    m.insert_point_cloud(scan_of(np.vstack([wall, car])),
+                         origin=np.array([0.0, 0, 1.0]))
+    for k in range(5):
+        m.insert_point_cloud(scan_of(wall + rng.normal(0, 0.01, wall.shape)),
+                             origin=np.array([0.0, 0, 1.0]))
+    out = m.output_to_numpy()
+    assert out.shape[0] > 50
+    # car voxels almost entirely removed (a few voxels with several
+    # coincident hits and no ray crossings can survive — the reference's
+    # weak miss odds keep those too)
+    near_car = np.abs(out[:, 0] - 5.0) < 0.5
+    hit_once = m._hits[np.abs(m._keys[:, 0] * 0.1 - 5.0) < 0.5]
+    initially_occupied = (hit_once > 0).sum()
+    assert near_car.sum() < 0.05 * initially_occupied, (
+        near_car.sum(), initially_occupied)
+    # wall survives
+    assert (np.abs(out[:, 0] - 12.0) < 0.5).sum() > 50
+
+
+def test_output_average_positions():
+    m = MultiResolutionVoxelMap(MrvmSettings(output_average=True,
+                                             max_ray_steps=32))
+    pts = np.array([[5.02, 0.03, 0.51], [5.04, 0.01, 0.52]])
+    for _ in range(3):
+        m.insert_point_cloud(scan_of(pts), origin=np.array([0.0, 0, 0.5]))
+    out = m.output_to_numpy(threshold=0.5)
+    assert out.shape[0] >= 1
+    # averaged point ≈ centroid of inserted hits, not voxel center
+    d = np.linalg.norm(out[:, :3] - np.array([5.03, 0.02, 0.515]), axis=1)
+    assert d.min() < 0.02
+
+
+def test_intensity_max():
+    m = MultiResolutionVoxelMap(MrvmSettings(max_ray_steps=32))
+    pc = cloud_lib.from_numpy(
+        np.array([[3.0, 0, 0, 10.0], [3.01, 0, 0, 99.0]], dtype=np.float32),
+        capacity=64)
+    for _ in range(3):
+        m.insert_point_cloud(pc, origin=np.array([0.0, 0, 0]))
+    out = m.output_to_numpy(threshold=0.5)
+    assert out.shape[0] >= 1
+    assert np.max(out[:, 3]) == 99.0
+
+
+def test_empty_map():
+    m = MultiResolutionVoxelMap()
+    assert m.output_to_numpy().shape == (0, 4)
+    assert m.num_voxels == 0
