@@ -62,6 +62,10 @@ class Submap:
         self.match_transform_to_next: Optional[np.ndarray] = None
         self.match_score_to_previous: float = 1.0
         self.stamp: float = 0.0
+        # sensor tags interpolated at the submap stamp
+        # (SetRelatedGpsInENU / SetRelatedOdom, map_builder.cc:690-701)
+        self.related_gps_enu: Optional[np.ndarray] = None   # [3]
+        self.related_odom: Optional[np.ndarray] = None      # [4, 4]
 
     @property
     def full(self) -> bool:

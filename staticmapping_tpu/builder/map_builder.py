@@ -17,6 +17,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..common import np_se3
+from ..data.data_collector import (DataCollector, DataCollectorOptions,
+                                   ImuMsg, NavSatFixMsg, OdomMsg)
 from ..io import kitti as kitti_io
 from ..io import pcd as pcd_io
 from ..ops.normals import estimate_normals
@@ -34,6 +36,11 @@ class MapBuilderOptions:
     front_end: FrontEndOptions = dataclasses.field(
         default_factory=FrontEndOptions)
     submap: SubmapOptions = dataclasses.field(default_factory=SubmapOptions)
+    data_collector: DataCollectorOptions = dataclasses.field(
+        default_factory=DataCollectorOptions)
+    use_imu: bool = False
+    use_gps: bool = False
+    use_odom: bool = False
     export_file_path: str = "./"
     output_kitti_pose: bool = True
     output_mrvm: bool = True
@@ -57,24 +64,83 @@ class MapBuilder:
         self.options = options or MapBuilderOptions()
         self.front_end = FrontEnd(self.options.front_end,
                                   filter_chain=filter_chain)
+        self.data_collector = DataCollector(self.options.data_collector)
         self.trajectory = Trajectory(0)
         self.backend = backend        # attached pose-graph optimizer or None
         self._current_submap: Optional[Submap] = None
         self._next_submap_id = 0
+        # static extrinsics (SetTrackingTo*, map_builder.h:124-137)
+        self.tracking_to_lidar = np.eye(4)
+        self.tracking_to_imu = np.eye(4)
+        self.tracking_to_odom = np.eye(4)
+        self.tracking_to_gps = np.eye(4)
+
+    # ------------------------------------------------- extrinsic setters --
+    def set_tracking_to_lidar(self, T: np.ndarray):
+        self.tracking_to_lidar = np.asarray(T, dtype=np.float64)
+
+    def set_tracking_to_imu(self, T: np.ndarray):
+        self.tracking_to_imu = np.asarray(T, dtype=np.float64)
+
+    def set_tracking_to_odom(self, T: np.ndarray):
+        self.tracking_to_odom = np.asarray(T, dtype=np.float64)
+        if self.backend is not None and hasattr(
+                self.backend, "set_transform_odom_to_lidar"):
+            # tf_odom_lidar = tracking_to_odom⁻¹ · tracking_to_lidar
+            self.backend.set_transform_odom_to_lidar(
+                np_se3.inverse(self.tracking_to_odom)
+                @ self.tracking_to_lidar)
+
+    def set_tracking_to_gps(self, T: np.ndarray):
+        self.tracking_to_gps = np.asarray(T, dtype=np.float64)
+        if self.backend is not None and hasattr(
+                self.backend, "set_transform_tracking_to_gps"):
+            self.backend.set_transform_tracking_to_gps(self.tracking_to_gps)
 
     # ------------------------------------------------------------------
     def insert_pointcloud(self, stamp: float, points: np.ndarray) -> None:
         """InsertPointcloudMsg-equivalent for host arrays
-        (map_builder.cc:156-178)."""
+        (map_builder.cc:156-178): transform into the tracking frame,
+        accumulate, then feed the front end."""
+        points = np.asarray(points)
+        if not np.allclose(self.tracking_to_lidar, np.eye(4)):
+            R = self.tracking_to_lidar[:3, :3].astype(points.dtype)
+            t = self.tracking_to_lidar[:3, 3].astype(points.dtype)
+            xyz = points[:, :3] @ R.T + t
+            points = np.column_stack([xyz, points[:, 3:]]) \
+                if points.shape[1] > 3 else xyz
+        out = self.data_collector.add_cloud(stamp, points)
+        if out is None:
+            return
+        stamp, points = out
         frame = self.front_end.process(stamp, points)
         if frame is not None:
             self._insert_frame(frame)
 
     def insert_imu(self, stamp: float, angular_velocity, linear_acceleration):
+        """InsertImuMsg parity (map_builder.cc:172-192): rotate into the
+        tracking frame, store, feed the extrapolator."""
         from .pose_extrapolator import ImuData
-        self.front_end.extrapolator.add_imu_data(
-            ImuData(stamp, np.asarray(angular_velocity),
-                    np.asarray(linear_acceleration)))
+        R = self.tracking_to_imu[:3, :3]
+        w = R @ np.asarray(angular_velocity, dtype=np.float64)
+        a = R @ np.asarray(linear_acceleration, dtype=np.float64)
+        self.data_collector.add_imu(ImuMsg(stamp, w, a))
+        self.front_end.extrapolator.add_imu_data(ImuData(stamp, w, a))
+
+    def insert_odom(self, stamp: float, pose: np.ndarray) -> None:
+        """InsertOdomMsg parity (map_builder.cc:194-205) — for precise
+        INS-RTK-class odometry; only the pose is used."""
+        if not self.options.use_odom:
+            return
+        self.data_collector.add_odom(OdomMsg(stamp, np.asarray(pose)))
+
+    def insert_gps(self, stamp: float, latitude: float, longitude: float,
+                   altitude: float, status: int = 0) -> None:
+        """InsertGpsMsg parity (map_builder.cc:206-211)."""
+        if not self.options.use_gps:
+            return
+        self.data_collector.add_gps(NavSatFixMsg(
+            stamp, latitude, longitude, altitude, status))
 
     def _insert_frame(self, frame: Frame) -> None:
         """InsertFrameForSubmap + SubmapProcessing merge step
@@ -87,6 +153,15 @@ class MapBuilder:
             self.trajectory.append(self._current_submap)
         self._current_submap.insert_frame(frame)
         if self._current_submap.full:
+            # sensor tags at the submap stamp (map_builder.cc:690-701)
+            if self.options.use_gps:
+                self._current_submap.related_gps_enu = \
+                    self.data_collector.interpolate_gps(
+                        self._current_submap.stamp, 0.001, trim_data=True)
+            if self.options.use_odom:
+                self._current_submap.related_odom = \
+                    self.data_collector.interpolate_odom(
+                        self._current_submap.stamp, 0.001, trim_data=True)
             if (self.options.enable_submap_pair_match
                     and self._current_submap.id > 0):
                 self._submap_pair_match(self._current_submap.id,
@@ -125,6 +200,7 @@ class MapBuilder:
             self.backend.run_final_optimization(self.trajectory)
             for s in self.trajectory:
                 s.update_inner_frame_poses()
+            self._calculate_coord_transform_to_gps()
 
         out_dir = self.options.export_file_path
         os.makedirs(out_dir, exist_ok=True)
@@ -142,6 +218,20 @@ class MapBuilder:
                             os.path.join(out_dir, "map_package"),
                             self.options.map_package)
 
+    def _calculate_coord_transform_to_gps(self) -> None:
+        """CalculateCoordTransformToGps parity (map_builder.cc:748-762):
+        rotate the whole map into the ENU frame."""
+        if not self.options.use_gps or not hasattr(
+                self.backend, "get_gps_coord_transform"):
+            return
+        T = self.backend.get_gps_coord_transform()
+        if np.allclose(T, np.eye(4)):
+            return
+        for submap in self.trajectory:
+            submap.global_pose = np_se3.normalize_rotation(
+                T @ submap.global_pose)
+            submap.update_inner_frame_poses()
+
     def _output_path_files(self, out_dir: str) -> None:
         """OutputPath parity (map_builder.cc:615-642 + trajectory path
         export): path.csv with stamp + translation + quaternion."""
@@ -155,6 +245,18 @@ class MapBuilder:
             np.savetxt(os.path.join(out_dir, "path.csv"),
                        np.asarray(rows),
                        header="stamp x y z qw qx qy qz", comments="# ")
+        # raw sensor paths (RawGpsDataToFile / RawOdomDataToFile,
+        # data_collector.cc:58-71)
+        gps_path = self.data_collector.raw_gps_path()
+        if gps_path.size:
+            pcd_io.write_pcd(os.path.join(out_dir, "original_gps.pcd"),
+                             gps_path)
+        odom_path = self.data_collector.raw_odom_path()
+        if odom_path.size:
+            pcd_io.write_pcd(
+                os.path.join(out_dir, "original_odom.pcd"),
+                np.column_stack([odom_path,
+                                 np.zeros(len(odom_path))]))
 
     def _save_maps(self, out_dir: str) -> None:
         """SaveMaps parity (map_builder.cc:825-911): transform every

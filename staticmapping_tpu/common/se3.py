@@ -142,27 +142,41 @@ def slerp(q0, q1, t):
 # axis-angle
 # ---------------------------------------------------------------------------
 
+def _theta_safe(sq):
+    """(theta², small-mask, safe-theta) — the double-``where`` guard that
+    keeps both primal AND autodiff tangents finite at theta = 0 (the naive
+    ``norm``/division forms produce NaN Jacobians, which poisons the
+    pose-graph autodiff factor linearization)."""
+    small = sq < 1e-10
+    theta = jnp.sqrt(jnp.where(small, 1.0, sq))
+    return small, theta
+
+
 def axis_angle_to_matrix(w):
-    """Rodrigues: rotation vector ``[..., 3]`` → matrix (safe at 0)."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
-    safe = jnp.maximum(theta, _EPS)
-    axis = w / safe
-    s = jnp.sin(theta)[..., None]
-    c = jnp.cos(theta)[..., None]
-    K = skew(axis)
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
-    R = eye + s * K + (1.0 - c) * (K @ K)
-    return jnp.where(theta[..., None] < 1e-9, eye, R)
+    """Rodrigues: rotation vector ``[..., 3]`` → matrix.
+
+    Written as R = I + a·S + b·S² with S = skew(w) (no axis normalization)
+    so it is autodiff-safe at theta = 0."""
+    sq = jnp.sum(w * w, axis=-1, keepdims=True)[..., None]
+    small, theta = _theta_safe(sq)
+    s, c = jnp.sin(theta), jnp.cos(theta)
+    a = jnp.where(small, 1.0 - sq / 6.0, s / theta)
+    b = jnp.where(small, 0.5 - sq / 24.0, (1.0 - c) / sq)
+    S = skew(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), S.shape)
+    return eye + a * S + b * (S @ S)
 
 
 def matrix_to_axis_angle(R):
     q = matrix_to_quat(R)
     w = q[..., :1]
     v = q[..., 1:]
-    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    angle = 2.0 * jnp.arctan2(n, w)
-    axis = v / jnp.maximum(n, _EPS)
-    return jnp.where(n < 1e-9, jnp.zeros_like(v), axis * angle)
+    sq = jnp.sum(v * v, axis=-1, keepdims=True)
+    small, n = _theta_safe(sq)
+    # angle/|v| = 2·atan2(|v|, w)/|v| → 2/w as |v| → 0 (w ≈ 1 there)
+    scale = jnp.where(small, 2.0 / jnp.maximum(w, 0.5),
+                      2.0 * jnp.arctan2(n, w) / n)
+    return v * scale
 
 
 def skew(v):
@@ -310,33 +324,34 @@ def normalize_rotation(T):
 # ---------------------------------------------------------------------------
 
 def exp_se3(xi):
-    """``xi = [rho(3), phi(3)] → [..., 4, 4]`` (full SE(3) exponential)."""
+    """``xi = [rho(3), phi(3)] → [..., 4, 4]`` (full SE(3) exponential).
+
+    V = I + b·S + c·S² with S = skew(phi); autodiff-safe at theta = 0."""
     rho, phi = xi[..., :3], xi[..., 3:]
-    theta = jnp.linalg.norm(phi, axis=-1, keepdims=True)
     R = axis_angle_to_matrix(phi)
-    K = skew(phi / jnp.maximum(theta, _EPS))
-    s = jnp.sin(theta)[..., None]
-    c = jnp.cos(theta)[..., None]
-    th = theta[..., None]
+    sq = jnp.sum(phi * phi, axis=-1, keepdims=True)[..., None]
+    small, theta = _theta_safe(sq)
+    s, c = jnp.sin(theta), jnp.cos(theta)
+    b = jnp.where(small, 0.5 - sq / 24.0, (1.0 - c) / sq)
+    cc = jnp.where(small, 1.0 / 6.0 - sq / 120.0, (theta - s) / (sq * theta))
+    S = skew(phi)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), R.shape)
-    V = eye + (1 - c) / jnp.maximum(th, _EPS) * K + (th - s) / jnp.maximum(th, _EPS) * (K @ K)
-    V = jnp.where(th < 1e-6, eye, V)
+    V = eye + b * S + cc * (S @ S)
     t = jnp.einsum("...ij,...j->...i", V, rho)
     return from_rt(R, t)
 
 
 def log_se3(T):
+    """V⁻¹ = I − S/2 + e·S² with S = skew(phi); autodiff-safe at 0."""
     phi = matrix_to_axis_angle(rotation(T))
-    theta = jnp.linalg.norm(phi, axis=-1, keepdims=True)
-    K = skew(phi / jnp.maximum(theta, _EPS))
-    th = theta[..., None]
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), K.shape)
-    half = 0.5 * th
-    # V^{-1} = I - 0.5*K*th + (1/th^2)(1 - th*sin/(2(1-cos))) (K th)^2
-    cot_term = jnp.where(
-        th < 1e-6, jnp.full_like(th, 1.0 / 12.0),
-        (1.0 - th * jnp.sin(th) / (2.0 * jnp.maximum(1.0 - jnp.cos(th), _EPS))) / jnp.maximum(th * th, _EPS))
-    Vinv = eye - half * K + cot_term * (th * K) @ (th * K)
-    Vinv = jnp.where(th < 1e-6, eye - half * K, Vinv)
+    sq = jnp.sum(phi * phi, axis=-1, keepdims=True)[..., None]
+    small, theta = _theta_safe(sq)
+    s, c = jnp.sin(theta), jnp.cos(theta)
+    e = jnp.where(
+        small, 1.0 / 12.0 + sq / 720.0,
+        (1.0 - 0.5 * theta * s / jnp.maximum(1.0 - c, _EPS)) / sq)
+    S = skew(phi)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), S.shape)
+    Vinv = eye - 0.5 * S + e * (S @ S)
     rho = jnp.einsum("...ij,...j->...i", Vinv, translation(T))
     return jnp.concatenate([rho, phi], axis=-1)

@@ -1,0 +1,232 @@
+"""Tests for the sensor hub (DataCollector), WGS-84 ENU geodesy and the
+GPS / odom factors in the back end (reference:
+builder/data/data_collector.cc, back_end/isam_optimizer.cc:196-349)."""
+import numpy as np
+import pytest
+
+from staticmapping_tpu.common import np_se3
+from staticmapping_tpu.common.geo import LocalCartesian
+from staticmapping_tpu.data.data_collector import (
+    DataCollector, DataCollectorOptions, NavSatFixMsg, OdomMsg)
+
+
+# ---------------------------------------------------------------- geodesy --
+def test_enu_round_trip():
+    lc = LocalCartesian(48.8566, 2.3522, 35.0)
+    for enu in ([0, 0, 0], [100.0, -250.0, 12.0], [-5000.0, 3000.0, -40.0]):
+        lat, lon, alt = lc.reverse(np.asarray(enu, dtype=float))
+        back = lc.forward(lat, lon, alt)
+        np.testing.assert_allclose(back, enu, atol=1e-6)
+
+
+def test_enu_scale_sanity():
+    # 1 mdeg of latitude ≈ 110.57 m of northing at the equator
+    lc = LocalCartesian(0.0, 0.0, 0.0)
+    enu = lc.forward(0.001, 0.0, 0.0)
+    assert abs(enu[1] - 110.57) < 0.1
+    assert abs(enu[0]) < 1e-6
+    # up stays up
+    enu = lc.forward(0.0, 0.0, 123.0)
+    np.testing.assert_allclose(enu, [0, 0, 123.0], atol=1e-6)
+
+
+# ---------------------------------------------------------- data collector --
+def test_cloud_accumulation():
+    dc = DataCollector(DataCollectorOptions(accumulate_cloud_num=3))
+    a = np.random.rand(10, 4).astype(np.float32)
+    b = np.random.rand(20, 4).astype(np.float32)
+    c = np.random.rand(5, 4).astype(np.float32)
+    assert dc.add_cloud(1.0, a) is None
+    assert dc.add_cloud(1.1, b) is None
+    stamp, merged = dc.add_cloud(1.2, c)
+    assert stamp == 1.0          # first stamp (data_collector.h:175)
+    assert merged.shape == (35, 4)
+    # next batch starts clean
+    assert dc.add_cloud(1.3, a) is None
+
+
+def test_gps_enu_anchoring_and_interpolation():
+    dc = DataCollector()
+    # unfixed messages before the first fix are dropped
+    dc.add_gps(NavSatFixMsg(0.5, 48.8566, 2.3522, 35.0, status=-1))
+    assert dc.reference_gps is None
+    dc.add_gps(NavSatFixMsg(1.0, 48.8566, 2.3522, 35.0))
+    dc.add_gps(NavSatFixMsg(1.1, 48.85661, 2.3522, 35.0))
+    assert len(dc.gps_data) == 2
+    np.testing.assert_allclose(dc.gps_data[0].enu, [0, 0, 0], atol=1e-9)
+    mid = dc.interpolate_gps(1.05)
+    np.testing.assert_allclose(mid, dc.gps_data[1].enu * 0.5, atol=1e-9)
+    # out of range → None (data_collector.cc:217-221)
+    assert dc.interpolate_gps(0.9) is None
+    assert dc.interpolate_gps(1.2) is None
+
+
+def test_gps_interpolation_gap_gate():
+    dc = DataCollector()
+    dc.add_gps(NavSatFixMsg(1.0, 10.0, 10.0, 0.0))
+    dc.add_gps(NavSatFixMsg(1.5, 10.0001, 10.0, 0.0))  # 0.5 s gap > 0.2 s
+    assert dc.interpolate_gps(1.25) is None
+
+
+def test_odom_rebase_and_interpolation():
+    dc = DataCollector()
+    T0 = np_se3.from_rt(np_se3.euler_to_matrix([0, 0, 0.3]), [5.0, 2.0, 0.0])
+    T1 = T0 @ np_se3.from_rt(np.eye(3), [1.0, 0.0, 0.0])
+    dc.add_odom(OdomMsg(1.0, T0))
+    dc.add_odom(OdomMsg(2.0, T1))
+    # first odom becomes the origin (data_collector.cc:179-185)
+    np.testing.assert_allclose(dc.odom_data[0][1], np.eye(4), atol=1e-12)
+    mid = dc.interpolate_odom(1.5)
+    np.testing.assert_allclose(mid[:3, 3], [0.5, 0, 0], atol=1e-9)
+    # > 1 s gap rejected (data_collector.cc:283-287)
+    dc2 = DataCollector()
+    dc2.add_odom(OdomMsg(1.0, T0))
+    dc2.add_odom(OdomMsg(3.0, T1))
+    assert dc2.interpolate_odom(2.0) is None
+
+
+def test_odom_trim():
+    dc = DataCollector()
+    for k in range(5):
+        T = np_se3.from_rt(np.eye(3), [float(k), 0, 0])
+        dc.add_odom(OdomMsg(float(k), T))
+    out = dc.interpolate_odom(3.5, trim_data=True)
+    assert out is not None
+    assert dc.odom_data[0][0] == 3.0   # history before the bracket dropped
+
+
+# --------------------------------------------------------------- back end --
+def _circle_poses(n, radius=30.0):
+    """Poses driving a circle in the xy plane (enough yaw excitation for
+    the GPS init gate, isam_optimizer.cc:176-194)."""
+    poses = []
+    for k in range(n):
+        th = 2 * np.pi * k / n * 0.6
+        R = np_se3.euler_to_matrix([0, 0, th + np.pi / 2])
+        t = np.array([radius * np.cos(th), radius * np.sin(th), 0.0])
+        poses.append(np_se3.from_rt(R, t))
+    return poses
+
+
+def test_gps_factors_pull_map_into_enu_shape():
+    """Simulated GPS on a noisy circular trajectory: after the two-stage
+    init + GN solve, antenna positions mapped through the estimated coord
+    transform must match the ENU measurements."""
+    from staticmapping_tpu.backend.pose_graph import (
+        PoseGraph, SPECIAL_GPS_COORD)
+    rng = np.random.default_rng(0)
+    n = 24
+    poses_true = _circle_poses(n)
+    # ENU frame: map rotated by yaw=0.8 rad and shifted
+    T_enu = np_se3.from_rt(np_se3.euler_to_matrix([0, 0, 0.8]),
+                           [100.0, -50.0, 2.0])
+    g = PoseGraph()
+    for k in range(n):
+        g.add_node()
+    for k in range(1, n):
+        T_rel = np_se3.inverse(poses_true[k - 1]) @ poses_true[k]
+        # odometry drift noise
+        noise = np_se3.from_rt(
+            np_se3.euler_to_matrix(rng.normal(0, 0.002, 3)),
+            rng.normal(0, 0.02, 3))
+        g.add_between(k - 1, k, T_rel @ noise)
+    for k in range(n):
+        enu = (T_enu @ poses_true[k])[:3, 3]
+        g.add_gps(k, enu + rng.normal(0, 0.05, 3))
+    # init gps_coord from a Kabsch fit like the optimizer does
+    X = np.stack([p[:3, 3] for p in poses_true])
+    Y = np.stack([(T_enu @ p)[:3, 3] for p in poses_true])
+    xc, yc = X.mean(0), Y.mean(0)
+    U, _, Vt = np.linalg.svd((X - xc).T @ (Y - yc))
+    d = np.sign(np.linalg.det(Vt.T @ U.T))
+    R0 = Vt.T @ np.diag([1.0, 1.0, d]) @ U.T
+    g.set_special_value(SPECIAL_GPS_COORD,
+                        np_se3.from_rt(R0, yc - R0 @ xc))
+
+    init = np.stack(poses_true)  # start near truth; GN refines w/ gps
+    out = g.optimize(init, num_iters=10)
+    T_coord = g.get_special_value(SPECIAL_GPS_COORD)
+    # the estimated coord transform must reproduce the measurements
+    errs = [np.linalg.norm((T_coord @ out[k])[:3, 3]
+                           - (T_enu @ poses_true[k])[:3, 3])
+            for k in range(n)]
+    assert np.mean(errs) < 0.3, np.mean(errs)
+
+
+def test_incremental_optimizer_gps_two_stage_init():
+    from staticmapping_tpu.backend.optimizer import (
+        IncrementalOptimizer, OptimizerOptions)
+    from staticmapping_tpu.backend.loop_detector import LoopDetectorSettings
+
+    class FakeSubmap:
+        def __init__(self, i, pose, enu):
+            self.id = i
+            self.global_pose = pose
+            self.descriptor = np.zeros(192)
+            self.match_transform_to_next = None
+            self.related_gps_enu = enu
+            self.related_odom = None
+            self.cloud = None
+            self.stamp = float(i)
+
+    n = 24
+    poses = _circle_poses(n)
+    T_enu = np_se3.from_rt(np_se3.euler_to_matrix([0, 0, -0.5]),
+                           [40.0, 10.0, 0.0])
+    opt = IncrementalOptimizer(
+        OptimizerOptions(use_gps=True, gps_factor_init_num=6),
+        LoopDetectorSettings(use_descriptor=False, use_gps=False))
+    traj = []
+    for k in range(n):
+        enu = (T_enu @ poses[k])[:3, 3]
+        sm = FakeSubmap(k, poses[k].copy(), enu)
+        if k > 0:
+            traj[k - 1].match_transform_to_next = \
+                np_se3.inverse(poses[k - 1]) @ poses[k]
+        traj.append(sm)
+        opt.add_submap(traj, sm)
+    assert opt._calculated_first_gps_coord
+    T_coord = opt.get_gps_coord_transform()
+    # antenna path through T_coord matches ENU
+    errs = [np.linalg.norm((T_coord @ traj[k].global_pose)[:3, 3]
+                           - (T_enu @ poses[k])[:3, 3]) for k in range(n)]
+    assert np.mean(errs) < 0.2, np.mean(errs)
+
+
+def test_odom_extrinsic_calibration():
+    """calib⁻¹·pose·calib = odom (isam_optimizer.cc:209-224): with a known
+    lidar→odom offset, the optimizer's calib node should recover it.
+
+    The trajectory needs rotation about non-collinear axes: for purely
+    planar (yaw-only) motion the calib yaw and z are a gauge freedom of
+    K⁻¹·T·K = odom and only the prior pins them."""
+    from staticmapping_tpu.backend.pose_graph import (
+        PoseGraph, SPECIAL_ODOM_CALIB)
+    n = 20
+    poses = []
+    for k, T in enumerate(_circle_poses(n)):
+        wobble = np_se3.from_rt(
+            np_se3.euler_to_matrix([0.3 * np.sin(1.7 * k),
+                                    0.3 * np.cos(2.3 * k), 0.0]),
+            [0.0, 0.0, 0.5 * np.sin(0.9 * k)])
+        poses.append(np_se3.normalize_rotation(T @ wobble))
+    calib_true = np_se3.from_rt(np_se3.euler_to_matrix([0, 0, 0.15]),
+                                [0.5, 0.2, 0.0])
+    g = PoseGraph()
+    for k in range(n):
+        g.add_node()
+    for k in range(1, n):
+        g.add_between(k - 1, k,
+                      np_se3.inverse(poses[k - 1]) @ poses[k],
+                      (0.01,) * 3 + (0.005,) * 3)
+    inv_c = np_se3.inverse(calib_true)
+    for k in range(n):
+        odom = inv_c @ poses[k] @ calib_true
+        g.add_odom(k, odom, (1.5, 1.5, 2.0, 0.2, 0.2, 0.2))
+    g.add_special_prior(SPECIAL_ODOM_CALIB, np.eye(4),
+                        (0.1, 0.1, 0.1, 0.5, 0.5, 1.5))
+    out = g.optimize(np.stack(poses), num_iters=12)
+    calib_est = g.get_special_value(SPECIAL_ODOM_CALIB)
+    err = np_se3.inverse(calib_est) @ calib_true
+    assert np.linalg.norm(err[:3, 3]) < 0.05
+    assert np_se3.rotation_angles_abs_sum_deg(err) < 1.0
