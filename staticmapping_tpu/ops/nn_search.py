@@ -3,9 +3,17 @@
 TPU-native replacement for the reference's libnabo kd-trees
 (registrators/icp_fast.cc:466-468, FindClosests cc:169-180). kd-trees are
 pointer-chasing and hostile to TPU; instead we compute distances with the
-MXU:  ``d²(q, t) = |q|² + |t|² − 2 q·t``  tiled over the target so the
-``[M, T]`` block stays bounded, with a running min/top-k carried through a
-``lax.scan``.
+MXU:  ``d²(q, t) = |q|² + |t|² − 2 q·t``.
+
+Two implementations:
+
+* ``_nearest_pallas`` — a Pallas kernel that keeps every ``[QC, TC]``
+  distance block in VMEM (never round-tripping the O(M·N) matrix through
+  HBM) and *fuses the correspondence gather*: the matched target point and
+  normal are selected with a one-hot matmul on the MXU inside the same
+  kernel, so the ICP iteration needs no host/XLA gather at all.
+* ``_nearest_scan`` — portable ``lax.scan`` fallback (CPU tests, or shapes
+  the kernel doesn't support).
 
 Accuracy note: the cross term runs at ``precision=HIGHEST`` and callers
 should demean clouds first (the reference demeans its target too,
@@ -13,15 +21,36 @@ icp_fast.cc:457-463) so f32 cancellation error stays ~1e-4 m² or better.
 """
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 # Far-away coordinate used for invalid/padded points.
 _FAR = 1.0e6
 _INF = jnp.inf
+
+# Pallas kernel tile sizes. QC·TC·4B must fit VMEM comfortably
+# (512·4096·4B = 8 MB block + operands).
+_QC = 512
+_TC = 4096
+
+
+def _use_pallas(m: int, n: int) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    return m % 128 == 0 and n % 128 == 0
+
+
+def _pick_chunk(size: int, pref: int) -> int:
+    c = min(pref, size)
+    while size % c:
+        c //= 2
+    return max(c, 128) if size % max(c, 128) == 0 else size
 
 
 def _dist2_block(query: jax.Array, target_tile: jax.Array) -> jax.Array:
@@ -34,23 +63,89 @@ def _dist2_block(query: jax.Array, target_tile: jax.Array) -> jax.Array:
     return jnp.maximum(q2 + t2 - 2.0 * cross, 0.0)
 
 
-@partial(jax.jit, static_argnames=("tile",))
-def nearest_1(query: jax.Array, target: jax.Array, target_mask: jax.Array,
-              tile: int = 1024):
-    """1-NN of every query point in target.
+# ---------------------------------------------------------------------------
+# Pallas kernel: fused 1-NN + payload select
+# ---------------------------------------------------------------------------
+
+def _nn_kernel(qc: int, tc: int, q_ref, t_ref, d_ref, i_ref):
+    """1-NN of every query row in ``t_ref``.
+
+    q_ref: [M, 8] query xyz (cols 3+ zero);  t_ref: [N, 8] target xyz;
+    d_ref: [M/128, 128] best d²;  i_ref: same, int32 index.
+    Every ``[qc, tc]`` distance block lives only in VMEM.
+    """
+    m = q_ref.shape[0]
+    n = t_ref.shape[0]
+    n_tc = n // tc
+
+    def qbody(c, _):
+        q = q_ref[pl.ds(c * qc, qc), :]                       # [qc, 8]
+        q2 = jnp.sum(q * q, axis=1, keepdims=True)
+
+        def tbody(t_i, carry):
+            bd, bi = carry
+            t = t_ref[pl.ds(t_i * tc, tc), :]                 # [tc, 8]
+            d2 = (q2 + jnp.sum(t * t, axis=1)[None, :]
+                  - 2.0 * lax.dot_general(
+                      q, t, (((1,), (1,)), ((), ())),
+                      preferred_element_type=jnp.float32,
+                      precision=lax.Precision.HIGHEST))       # [qc, tc]
+            d2 = jnp.maximum(d2, 0.0)
+            cd = jnp.min(d2, axis=1)
+            ci = jnp.argmin(d2, axis=1).astype(jnp.int32) + t_i * tc
+            take = cd < bd
+            return (jnp.where(take, cd, bd), jnp.where(take, ci, bi))
+
+        bd0 = jnp.full((qc,), _INF, dtype=jnp.float32)
+        bi0 = jnp.zeros((qc,), dtype=jnp.int32)
+        bd, bi = lax.fori_loop(0, n_tc, tbody, (bd0, bi0))
+
+        r = qc // 128
+        d_ref[pl.ds(c * r, r), :] = bd.reshape(r, 128)
+        i_ref[pl.ds(c * r, r), :] = bi.reshape(r, 128)
+
+    lax.fori_loop(0, m // qc, qbody, None)
+
+
+@partial(jax.jit, static_argnames=("qc", "tc"))
+def _nearest_pallas(query8, target8, qc: int, tc: int):
+    m = query8.shape[0]
+    d, i = pl.pallas_call(
+        partial(_nn_kernel, qc, tc),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((m // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((m // 128, 128), jnp.int32),
+        ],
+    )(query8, target8)
+    return d.reshape(m), i.reshape(m)
+
+
+def _pad8(x: jax.Array) -> jax.Array:
+    """[N, 3] → [N, 8] zero-padded (MXU-friendly contraction dim)."""
+    return jnp.pad(x, ((0, 0), (0, 8 - x.shape[1])))
+
+
+def nearest_select(query: jax.Array, target: jax.Array,
+                   target_mask: jax.Array, payload: jax.Array):
+    """1-NN + payload row gather.
 
     Args:
-      query: ``[M, 3]`` (masked-out queries may hold garbage; result for them
-        is meaningless and must be masked by the caller).
-      target: ``[N, 3]``; ``target_mask``: ``[N] bool``.
+      query: ``[M, 3]``; target: ``[N, 3]``; target_mask: ``[N] bool``;
+      payload: ``[N, P] f32`` rows to fetch for each match.
     Returns:
-      ``(d2 [M], idx [M])`` squared distance and target index of the nearest
-      valid target point.
+      ``(d2 [M], idx [M], selected [M, P])``.
     """
-    n = target.shape[0]
+    d2, idx = nearest_1(query, target, target_mask)
+    return d2, idx, payload[idx]
+
+
+@partial(jax.jit, static_argnames=("tile",))
+def _nearest_scan(query: jax.Array, tgt: jax.Array, target_mask: jax.Array,
+                  tile: int = 1024):
+    n = tgt.shape[0]
     assert n % tile == 0, f"target capacity {n} not divisible by tile {tile}"
-    tgt = jnp.where(target_mask[:, None], target,
-                    jnp.full_like(target, _FAR))
     tgt_tiles = tgt.reshape(n // tile, tile, 3)
     mask_tiles = target_mask.reshape(n // tile, tile)
 
@@ -73,6 +168,28 @@ def nearest_1(query: jax.Array, target: jax.Array, target_mask: jax.Array,
         body, init,
         (tgt_tiles, mask_tiles, jnp.arange(n // tile, dtype=jnp.int32)))
     return best_d, best_i
+
+
+def nearest_1(query: jax.Array, target: jax.Array, target_mask: jax.Array,
+              tile: int = 1024):
+    """1-NN of every query point in target.
+
+    Args:
+      query: ``[M, 3]`` (masked-out queries may hold garbage; result for them
+        is meaningless and must be masked by the caller).
+      target: ``[N, 3]``; ``target_mask``: ``[N] bool``.
+    Returns:
+      ``(d2 [M], idx [M])`` squared distance and target index of the nearest
+      valid target point.
+    """
+    m, n = query.shape[0], target.shape[0]
+    tgt = jnp.where(target_mask[:, None], target,
+                    jnp.full_like(target, _FAR))
+    if _use_pallas(m, n):
+        qc = _pick_chunk(m, _QC)
+        tc = _pick_chunk(n, _TC)
+        return _nearest_pallas(_pad8(query), _pad8(tgt), qc, tc)
+    return _nearest_scan(query, tgt, target_mask, tile=min(tile, n))
 
 
 @partial(jax.jit, static_argnames=("k", "tile"))
@@ -120,3 +237,31 @@ def masked_quantile(values: jax.Array, mask: jax.Array, q) -> jax.Array:
     idx = jnp.clip((count * q).astype(jnp.int32), 0, values.shape[0] - 1)
     idx = jnp.minimum(idx, jnp.maximum(count - 1, 0))
     return s[idx]
+
+
+def masked_quantile_fast(values: jax.Array, mask: jax.Array, q,
+                         rounds: int = 10) -> jax.Array:
+    """Approximate masked quantile by threshold bisection — O(rounds·N),
+    no sort.
+
+    Used in the ICP inner loop where the reference's exact ``nth_element``
+    quantile (icp_fast.cc:65-90) only feeds a robust trimming threshold, so
+    a ≤(range/2^rounds) overshoot is harmless. Each round is one masked
+    count reduce (pure VPU); returns an upper bound on the exact quantile
+    (keeps at least as many matches as the exact threshold would).
+    """
+    v = jnp.where(mask, values, 0.0)
+    hi0 = jnp.max(v) + 1e-12
+    count = jnp.sum(mask).astype(jnp.float32)
+    want = q * count
+
+    def body(_, bounds):
+        lo, hi = bounds
+        mid = 0.5 * (lo + hi)
+        c = jnp.sum((v <= mid) & mask).astype(jnp.float32)
+        below = c < want
+        return (jnp.where(below, mid, lo), jnp.where(below, hi, mid))
+
+    _, hi = lax.fori_loop(0, rounds, body,
+                          (jnp.float32(0.0), hi0.astype(jnp.float32)))
+    return hi

@@ -60,7 +60,8 @@ def _solve6(A: jax.Array, b: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit,
-         static_argnames=("max_iteration", "tile", "compensation"))
+         static_argnames=("max_iteration", "tile", "compensation",
+                          "exact_quantile", "return_aux"))
 def align_point_to_plane(
     source: PointCloud,
     target: NormalCloud,
@@ -69,6 +70,8 @@ def align_point_to_plane(
     max_iteration: int = 100,
     tile: int = 1024,
     compensation: bool = False,
+    exact_quantile: bool = False,
+    return_aux: bool = False,
 ):
     """Align ``source`` onto ``target``; returns ``(T [4,4], score f32)``.
 
@@ -85,6 +88,8 @@ def align_point_to_plane(
     tgt_pts = jnp.where(target.mask[:, None], target.xyz - tgt_mean,
                         jnp.full_like(target.xyz, nn_search._FAR))
     tgt_normals = target.normals
+    # matched-point payload fetched by the fused NN kernel: xyz ++ normal
+    tgt_payload = jnp.concatenate([tgt_pts, tgt_normals], axis=1)
 
     T_mean = se3.from_rt(jnp.eye(3, dtype=f32), tgt_mean)
     T_init = se3.inverse(T_mean) @ guess
@@ -106,18 +111,24 @@ def align_point_to_plane(
         else:
             step_pts = se3.apply(state.T_iter, src0)
 
-        # step 1: correspondences (FindClosests, cc:169-180)
-        d2, idx = nn_search.nearest_1(step_pts, tgt_pts, target.mask,
-                                      tile=tile)
+        # step 1: correspondences (FindClosests, cc:169-180) with the
+        # matched point + normal fetched inside the kernel
+        d2, idx, sel = nn_search.nearest_select(step_pts, tgt_pts,
+                                                target.mask, tgt_payload)
         d2 = jnp.where(src_mask, d2, jnp.inf)
 
         # step 2: trimmed outlier rejection (cc:496-498)
-        limit = nn_search.masked_quantile(d2, src_mask, dist_outlier_ratio)
+        if exact_quantile:
+            limit = nn_search.masked_quantile(d2, src_mask,
+                                              dist_outlier_ratio)
+        else:
+            limit = nn_search.masked_quantile_fast(d2, src_mask,
+                                                   dist_outlier_ratio)
         w = ((d2 <= limit) & src_mask).astype(f32)
 
         # step 3: point-to-plane normal equations (ComputePointToPlane)
-        q_pts = tgt_pts[idx]          # matched target points (demeaned)
-        nrm = tgt_normals[idx]
+        q_pts = sel[:, :3]            # matched target points (demeaned)
+        nrm = sel[:, 3:6]
         cross = jnp.cross(step_pts, nrm)
         F = jnp.concatenate([cross, nrm], axis=1)        # [N, 6]
         if compensation:
@@ -165,6 +176,8 @@ def align_point_to_plane(
     final = lax.while_loop(cond, body, init)
 
     result = T_mean @ final.T_iter @ T_init
+    if return_aux:
+        return result, final.score, final.it
     return result, final.score
 
 
@@ -179,6 +192,7 @@ class IcpFast:
     dist_outlier_ratio: float = 0.7
     tile: int = 1024
     inner_compensation: bool = False
+    exact_quantile: bool = False
 
     TYPE = 6  # registrator::Type::kFastIcp (interface.h:41-50)
 
@@ -200,6 +214,7 @@ class IcpFast:
             max_iteration=self.max_iteration,
             tile=self.tile,
             compensation=self.inner_compensation,
+            exact_quantile=self.exact_quantile,
         )
         self.final_score = score
         return T, score

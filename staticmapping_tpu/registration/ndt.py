@@ -1,0 +1,287 @@
+"""NDT registration — TPU-native equivalent of the reference's "type 5"
+matcher (registrators/ndt.{h,cc}, a wrapper over vendored pclomp OpenMP NDT,
+ndt.cc:29-64) and the NDT half of "type 3" (registrators/ndt_gicp.cc:55-112).
+
+Reference semantics kept: voxelize the target into per-voxel Gaussians
+(pclomp ``VoxelGridCovariance`` equivalent → :func:`build_ndt_map`), then
+iteratively optimize the pose against the Gaussian field (resolution 1.0,
+transformation epsilon 0.01, ≤35 iterations — ndt_gicp.cc:41-44).
+
+TPU-native re-design (NOT a port of pclomp's Newton + More-Thuente line
+search, ndt_omp_impl.hpp):
+
+* voxel Gaussian build = one multi-key sort + segment reductions
+  (:mod:`..ops.voxel`), eigenvalue-regularized like pclomp (small
+  eigenvalues clamped to 1e-2 of the largest);
+* per-iteration voxel lookup = Morton-packed binary search (searchsorted)
+  instead of a kd-tree over voxel centers — fully vectorized;
+* optimization = iteratively-reweighted Gauss-Newton on the Mahalanobis
+  residuals with the classic NDT Gaussian weight exp(−d2/2·q^T Λ q); this
+  converges to the same stationary points as pclomp's Newton scheme on
+  these smooth fields while mapping to batched 6×6 MXU reductions.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..common import se3
+from ..data.cloud import PointCloud
+from ..ops import voxel as voxel_ops
+
+_MORTON_BITS = 10
+_INVALID = np.int32(2 ** 30 - 1)
+
+
+class NdtMap(NamedTuple):
+    """Sorted voxel-Gaussian field of a target cloud."""
+
+    key: jax.Array        # [V] int32 Morton-packed voxel coords, sorted
+    mean: jax.Array       # [V, 3]
+    inv_cov: jax.Array    # [V, 3, 3] regularized inverse covariance
+    valid: jax.Array      # [V] bool (count >= min_points)
+    origin: jax.Array     # [3] f32 voxel-lattice origin
+    resolution: jax.Array  # f32
+
+
+def _spread(v):
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def _pack_key(ijk: jax.Array, in_range: jax.Array) -> jax.Array:
+    """[N, 3] lattice coords (0..1023) → int32 Morton key; out-of-range or
+    invalid → _INVALID (sorts last, never matches a query)."""
+    k = (_spread(ijk[:, 0]) | (_spread(ijk[:, 1]) << 1)
+         | (_spread(ijk[:, 2]) << 2))
+    return jnp.where(in_range, k, _INVALID)
+
+
+def _lattice(xyz: jax.Array, origin: jax.Array, resolution) -> tuple:
+    ijk = jnp.floor((xyz - origin) / resolution).astype(jnp.int32)
+    in_range = jnp.all((ijk >= 0) & (ijk < (1 << _MORTON_BITS)), axis=1)
+    return ijk, in_range
+
+
+def _sym3_inv_regularized(cov: jax.Array, rel_floor: float = 1e-2):
+    """Regularized inverse of batched symmetric 3×3 covariances.
+
+    pclomp clamps small covariance eigenvalues to ``1e-2·λ_max``
+    (voxel_grid_covariance_omp_impl.hpp behavior); we get the same
+    conditioning by adding ``rel_floor·tr(C)/3·I`` before a closed-form
+    adjugate inverse (pure VPU, no eigendecomposition)."""
+    tr = (cov[..., 0, 0] + cov[..., 1, 1] + cov[..., 2, 2])
+    lam = (rel_floor * jnp.maximum(tr, 1e-9) / 3.0)[..., None, None]
+    A = cov + lam * jnp.eye(3, dtype=cov.dtype)
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a11, a12, a22 = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+    c00 = a11 * a22 - a12 * a12
+    c01 = a02 * a12 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c11 = a00 * a22 - a02 * a02
+    c12 = a01 * a02 - a00 * a12
+    c22 = a00 * a11 - a01 * a01
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+    row0 = jnp.stack([c00, c01, c02], axis=-1)
+    row1 = jnp.stack([c01, c11, c12], axis=-1)
+    row2 = jnp.stack([c02, c12, c22], axis=-1)
+    inv = jnp.stack([row0, row1, row2], axis=-2) * inv_det[..., None, None]
+    ok = jnp.abs(det) > 1e-30
+    return jnp.where(ok[..., None, None], inv,
+                     jnp.eye(3, dtype=cov.dtype)), ok
+
+
+@partial(jax.jit, static_argnames=("min_points",))
+def build_ndt_map(cloud: PointCloud, resolution, min_points: int = 4
+                  ) -> NdtMap:
+    """Voxelize ``cloud`` into per-voxel Gaussians (pclomp
+    VoxelGridCovariance equivalent; min 4 points per voxel like pclomp's
+    ``min_points_per_voxel_``)."""
+    resolution = jnp.float32(resolution)
+    origin = jnp.min(cloud.masked_xyz(fill=np.float32(1e9)), axis=0)
+    origin = jnp.where(jnp.isfinite(origin), origin, 0.0)
+    stats = voxel_ops.voxel_stats_floor(cloud, resolution, origin)
+    ijk = stats["voxel_key"]
+    in_range = stats["valid"] & (stats["count"] >= min_points) & \
+        jnp.all((ijk >= 0) & (ijk < (1 << _MORTON_BITS)), axis=1)
+    key = _pack_key(ijk, in_range)
+    inv_cov, inv_ok = _sym3_inv_regularized(stats["cov"])
+    valid = in_range & inv_ok
+    key = jnp.where(valid, key, _INVALID)
+    # sort by key so queries can binary-search
+    order = jnp.argsort(key)
+    return NdtMap(key=key[order], mean=stats["mean"][order],
+                  inv_cov=inv_cov[order], valid=valid[order],
+                  origin=origin, resolution=resolution)
+
+
+# face-neighbor offsets (containing voxel + 6 faces) — DIRECT7 parity
+# (pclomp ndt_omp.h:52 neighbor search methods)
+_DIRECT7 = np.array([[0, 0, 0], [1, 0, 0], [-1, 0, 0], [0, 1, 0],
+                     [0, -1, 0], [0, 0, 1], [0, 0, -1]], dtype=np.int32)
+
+
+class _NdtState(NamedTuple):
+    T_iter: jax.Array
+    it: jax.Array
+    converged: jax.Array
+    score: jax.Array
+
+
+@partial(jax.jit, static_argnames=("max_iteration", "direct7"))
+def align_ndt(source: PointCloud, ndt_map: NdtMap, guess: jax.Array,
+              outlier_ratio: float = 0.55,
+              transformation_epsilon: float = 0.01,
+              max_iteration: int = 35,
+              step_damping: float = 1.0,
+              direct7: bool = True):
+    """Align ``source`` onto the NDT Gaussian field. Returns ``(T, score)``.
+
+    Option parity: resolution/step/epsilon/max_iteration from
+    ndt_gicp.cc:41-44 (res 1.0, eps 0.01, 35 iters) and the pclomp
+    ``outlier_ratio`` default 0.55. ``score`` = exp(−mean Mahalanobis-ish
+    distance of matched points), comparable to the ICP fitness
+    (registrators/interface.h:61 acceptance semantics).
+    """
+    f32 = jnp.float32
+    guess = guess.astype(f32)
+    res = ndt_map.resolution
+
+    # NDT Gaussian weight constants d1, d2 (Magnusson 2009 eq. 6.8,
+    # pclomp ndt_omp_impl.hpp gauss_d1_/gauss_d2_)
+    gauss_c1 = 10.0 * (1.0 - outlier_ratio)
+    gauss_c2 = outlier_ratio / float(res ** 0 if False else 1.0)
+    gauss_d3 = -np.log(gauss_c2)
+    gauss_d1 = -np.log(gauss_c1 + gauss_c2) - gauss_d3
+    gauss_d2 = -2.0 * np.log(
+        (-np.log(gauss_c1 * np.exp(-0.5) + gauss_c2) - gauss_d3) / gauss_d1)
+    d1, d2 = f32(gauss_d1), f32(gauss_d2)
+
+    src = source.xyz
+    src_mask = source.mask
+    n_offsets = _DIRECT7.shape[0] if direct7 else 1
+    offsets = jnp.asarray(_DIRECT7[:n_offsets])
+
+    def lookup(pts):
+        """Per (point, neighbor-offset): voxel Gaussian gather."""
+        ijk, in_range = _lattice(pts, ndt_map.origin, res)
+        ijk_n = ijk[:, None, :] + offsets[None, :, :]       # [N, K, 3]
+        in_r = (in_range[:, None]
+                & jnp.all((ijk_n >= 0) & (ijk_n < (1 << _MORTON_BITS)),
+                          axis=2))
+        keys = _pack_key(ijk_n.reshape(-1, 3), in_r.reshape(-1))
+        pos = jnp.searchsorted(ndt_map.key, keys)
+        pos = jnp.clip(pos, 0, ndt_map.key.shape[0] - 1)
+        hit = (ndt_map.key[pos] == keys) & (keys != _INVALID)
+        mu = ndt_map.mean[pos].reshape(-1, n_offsets, 3)
+        lam = ndt_map.inv_cov[pos].reshape(-1, n_offsets, 3, 3)
+        return mu, lam, hit.reshape(-1, n_offsets)
+
+    def body(state: _NdtState) -> _NdtState:
+        pts = se3.apply(state.T_iter @ guess, src)           # [N, 3]
+        mu, lam, hit = lookup(pts)
+        hit = hit & src_mask[:, None]
+        q = pts[:, None, :] - mu                             # [N, K, 3]
+        lam_q = jnp.einsum("nkij,nkj->nki", lam, q)          # Λq
+        md2 = jnp.sum(q * lam_q, axis=2)                     # qᵀΛq [N, K]
+        # classic NDT Gaussian weight; IRLS weight = d1·d2·exp(−d2/2·md2)
+        w = jnp.where(hit, d1 * d2 * jnp.exp(-0.5 * d2 * md2), 0.0)
+        # Gauss-Newton on r(ξ) = q with metric w·Λ:
+        #   J = [−[p]ₓ | I] (left perturbation), A = Σ w JᵀΛJ, b = −Σ w JᵀΛq
+        px = pts
+        # JᵀΛq: rotation part = −p × (Λq) summed over K, translation = Λq
+        rot_g = -jnp.cross(px[:, None, :], lam_q)            # [N, K, 3]
+        g = jnp.concatenate([rot_g, lam_q], axis=2)          # [N, K, 6]
+        b_vec = -jnp.sum(w[..., None] * g, axis=(0, 1))      # [6]
+        # A = Σ w Gᵀ Λ⁻¹?? — use JᵀΛJ built from G blocks:
+        # JᵀΛJ = [[ [p]ₓΛ[p]ₓᵀ, −[p]ₓΛ], [−Λ[p]ₓᵀ?, Λ]] — assemble via
+        # per-point 6×3 S = [−[p]ₓ ; I]ᵀ so A = Σ w SᵀΛS. Build S·q basis:
+        # S rows: for rotation e_r: d q/d ξ_r = −e_r × p → column vectors.
+        eye = jnp.eye(3, dtype=f32)
+        # d q / d rot_r = (e_r × p) with sign: q = Rp + t − μ;
+        # ∂(Rp)/∂ξ_rot = −[Rp]ₓ → column r = −e_r? cross... use matrix form:
+        Jrot = -_hat_batch(px)                               # [N, 3, 3]
+        J = jnp.concatenate(
+            [Jrot, jnp.broadcast_to(eye, (px.shape[0], 3, 3))], axis=2)
+        # [N, 3, 6]; A = Σ_k w·Jᵀ Λ J  (J shared across K, Λ differs)
+        lamw = jnp.sum(w[..., None, None] * lam, axis=1)     # [N, 3, 3]
+        JT_lam = jnp.einsum("nij,nik->njk", J, lamw)         # [N, 6, 3]
+        A = jnp.einsum("njk,nkl->jl", JT_lam, J)             # [6, 6]
+        A = A + 1e-6 * jnp.eye(6, dtype=f32)
+        dx = jnp.linalg.solve(A, b_vec[:, None])[:, 0] * step_damping
+        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+        dT = se3.from_rt(se3.axis_angle_to_matrix(dx[:3]), dx[3:])
+        T_new = dT @ state.T_iter
+
+        # convergence on update magnitude (transformation_epsilon parity)
+        delta = jnp.linalg.norm(dx)
+        converged = delta < transformation_epsilon
+        # fitness: mean distance of hit points to their voxel mean
+        n_hit = jnp.maximum(jnp.sum(hit[:, 0]), 1)
+        avg_d = jnp.sum(jnp.where(hit[:, 0],
+                                  jnp.linalg.norm(q[:, 0, :], axis=1),
+                                  0.0)) / n_hit
+        score = jnp.exp(-avg_d)
+        return _NdtState(T_new, state.it + 1, converged, score)
+
+    def cond(state):
+        return (~state.converged) & (state.it < max_iteration)
+
+    init = _NdtState(jnp.eye(4, dtype=f32), jnp.int32(0),
+                     jnp.array(False), f32(0.0))
+    final = lax.while_loop(cond, body, init)
+    return final.T_iter @ guess, final.score
+
+
+def _hat_batch(v: jax.Array) -> jax.Array:
+    """[N, 3] → [N, 3, 3] skew-symmetric (cross-product matrices)."""
+    z = jnp.zeros_like(v[:, 0])
+    return jnp.stack([
+        jnp.stack([z, -v[:, 2], v[:, 1]], axis=1),
+        jnp.stack([v[:, 2], z, -v[:, 0]], axis=1),
+        jnp.stack([-v[:, 1], v[:, 0], z], axis=1),
+    ], axis=1)
+
+
+@dataclasses.dataclass
+class Ndt:
+    """Stateful matcher — "type 5" parity (registrators/ndt.{h,cc}: pclomp
+    NDT at resolution 1.0, KDTREE voxel search, 6 threads → here DIRECT7
+    lattice lookup, device-parallel)."""
+
+    resolution: float = 1.0
+    transformation_epsilon: float = 0.01
+    max_iteration: int = 35
+    min_points_per_voxel: int = 4
+
+    TYPE = 5  # registrator::Type::kNdt (interface.h:41-50)
+
+    _source: PointCloud = None
+    _map: NdtMap = None
+    final_score: float = 0.0
+
+    def set_input_source(self, cloud: PointCloud):
+        self._source = cloud
+
+    def set_input_target(self, target: PointCloud):
+        self._map = build_ndt_map(target, self.resolution,
+                                  min_points=self.min_points_per_voxel)
+
+    def align(self, guess: jax.Array):
+        assert self._source is not None and self._map is not None
+        T, score = align_ndt(
+            self._source, self._map, guess,
+            transformation_epsilon=self.transformation_epsilon,
+            max_iteration=self.max_iteration)
+        self.final_score = score
+        return T, score
