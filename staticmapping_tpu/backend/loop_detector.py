@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..common import np_se3
 from ..descriptor import m2dp
 from ..ops.normals import estimate_normals
-from ..registration.icp_fast import align_point_to_plane
+from ..parallel.align_pairs import align_pair_list
 
 
 class LoopStatus(enum.Enum):
@@ -75,7 +75,7 @@ class LoopDetector:
     """Feed submaps with :meth:`add_frame`. Submaps must expose
     ``global_pose`` (np [4,4]), ``cloud`` (PointCloud) and ``descriptor``."""
 
-    def __init__(self, settings: LoopDetectorSettings = None):
+    def __init__(self, settings: LoopDetectorSettings = None, mesh=None):
         self.settings = settings or LoopDetectorSettings()
         self.frames = []                      # submap refs
         self.descriptors: List[np.ndarray] = []
@@ -83,6 +83,8 @@ class LoopDetector:
         self.accumulate_count = 0
         self.search_window: Optional[Tuple[int, int]] = None
         self._target_cache = {}               # index -> NormalCloud
+        self.mesh = mesh                      # optional device mesh for
+        # sharded candidate registration (parallel.align_pairs)
 
     # ------------------------------------------------------------------
     def add_frame(self, submap, do_loop_detect: bool = True) -> DetectResult:
@@ -151,10 +153,7 @@ class LoopDetector:
         result.status = self.status
 
         if self.status == LoopStatus.CONTINOUS and maybe_pairs:
-            for tgt, src in maybe_pairs:
-                edge = self._close_loop(tgt, src)
-                if edge is not None:
-                    result.edges.append(edge)
+            result.edges = self._close_loops(maybe_pairs)
             if result.edges:
                 result.close_succeed = self._check_result(result)
         return result
@@ -202,29 +201,35 @@ class LoopDetector:
                     del self._target_cache[oldest]
         return self._target_cache[index]
 
-    def _close_loop(self, target_id: int, source_id: int
-                    ) -> Optional[LoopEdge]:
-        """CloseLoop parity (cc:282-318): re-register source submap onto
-        target submap; init guess from current globals with z zeroed."""
+    def _close_loops(self, pairs: List[Tuple[int, int]]) -> List[LoopEdge]:
+        """CloseLoop parity (cc:282-318) for ALL candidate pairs at once:
+        re-register each source submap onto its target submap with the init
+        guess from current globals (z zeroed — the reference's trick,
+        cc:290-291). The reference runs candidates on a tbb::task_group
+        (cc:224-228); here they are ONE batched ``align_pair_list`` call —
+        vmapped on a single device, sharded over ``self.mesh`` when set."""
         s = self.settings
-        init_guess = np_se3.inverse(self.frames[target_id].global_pose) @ \
-            self.frames[source_id].global_pose
-        init_guess = init_guess.copy()
-        init_guess[2, 3] = 0.0     # the reference's z trick (cc:290-291)
-
-        target = self._target_normals(target_id)
-        source = self.frames[source_id].cloud
-        T, score = align_point_to_plane(
-            source, target, jnp.asarray(init_guess, dtype=jnp.float32),
-            tile=s.nn_tile)
-        score = float(score)
-        if score > s.accept_scan_match_score:
-            return LoopEdge(target_id, source_id,
-                            np_se3.normalize_rotation(
-                                np.asarray(T, dtype=np.float64)),
-                            score=-math.log(max(score, 1e-9)),
-                            init_guess=init_guess)
-        return None
+        sources, targets, guesses = [], [], []
+        for target_id, source_id in pairs:
+            g = np_se3.inverse(self.frames[target_id].global_pose) @ \
+                self.frames[source_id].global_pose
+            g = g.copy()
+            g[2, 3] = 0.0
+            sources.append(self.frames[source_id].cloud)
+            targets.append(self._target_normals(target_id))
+            guesses.append(g)
+        Ts, scores = align_pair_list(sources, targets, guesses,
+                                     mesh=self.mesh)
+        edges = []
+        for (target_id, source_id), T, score, g in zip(
+                pairs, Ts, scores, guesses):
+            if score > s.accept_scan_match_score:
+                edges.append(LoopEdge(
+                    target_id, source_id,
+                    np_se3.normalize_rotation(np.asarray(T, dtype=np.float64)),
+                    score=-math.log(max(score, 1e-9)),
+                    init_guess=g))
+        return edges
 
     def _check_result(self, result: DetectResult) -> bool:
         """CheckResult parity (cc:320-345): all edges must agree on the

@@ -9,9 +9,8 @@ Two implementations:
 
 * ``_nearest_pallas`` — a Pallas kernel that keeps every ``[QC, TC]``
   distance block in VMEM (never round-tripping the O(M·N) matrix through
-  HBM) and *fuses the correspondence gather*: the matched target point and
-  normal are selected with a one-hot matmul on the MXU inside the same
-  kernel, so the ICP iteration needs no host/XLA gather at all.
+  HBM), returning (d², index) per query; the payload row fetch is a plain
+  XLA gather on the kernel's index output (``nearest_select``).
 * ``_nearest_scan`` — portable ``lax.scan`` fallback (CPU tests, or shapes
   the kernel doesn't support).
 
@@ -240,7 +239,7 @@ def masked_quantile(values: jax.Array, mask: jax.Array, q) -> jax.Array:
 
 
 def masked_quantile_fast(values: jax.Array, mask: jax.Array, q,
-                         rounds: int = 10) -> jax.Array:
+                         rounds: int = 16) -> jax.Array:
     """Approximate masked quantile by threshold bisection — O(rounds·N),
     no sort.
 

@@ -11,13 +11,16 @@ output cloud is therefore also downsampled ~leaf-size×.
 
 Two spatial groupings:
 
-* ``morton`` (default): ONE ``lax.sort`` by 30-bit Morton code — leaves are
-  consecutive runs in Z-order, i.e. spatially compact, roughly cubic cells.
-  ~12× fewer sorts than kd-split, so far faster to compile and run; leaf
-  quality is equivalent for the point-to-plane ICP consumer.
-* ``kdsplit``: faithful median-split — ``log2`` rounds of segment-wise
-  multi-operand sorts (one fused ``lax.sort`` per round), matching the
-  reference's recursion shape exactly.
+* ``kdsplit`` (default): faithful median-split — ``log2`` rounds of
+  segment-wise multi-operand sorts (one fused ``lax.sort`` per round),
+  matching the reference's recursion shape exactly. Adaptive splits along
+  the widest dimension isolate surfaces, so leaf normals are clean.
+* ``morton``: ONE ``lax.sort`` by 30-bit Morton code — leaves are
+  consecutive Z-order runs. ~12× fewer sorts, but on sparse outdoor scans
+  Z-order runs can mix points from different surfaces, which measurably
+  degrades downstream ICP odometry (r02 regression: e2e ATE 2.1 m with
+  morton vs 0.26 m with kdsplit) — only use where normal quality is not
+  load-bearing.
 
 Either way the leaf solves are one batched 3×3 solve + eigendecomposition —
 fully static shapes.
@@ -78,6 +81,33 @@ def _sym3_eigvals(A: jax.Array) -> jax.Array:
     e2 = jnp.where(iso, q, e2)
     e3 = jnp.where(iso, q, e3)
     return jnp.stack([e1, e2, e3], axis=-1)
+
+
+def smallest_eigvec3(A: jax.Array) -> jax.Array:
+    """Unit eigenvector of the smallest eigenvalue of batched symmetric 3×3
+    matrices ``[..., 3, 3] → [..., 3]`` (pure VPU, no iterative eigensolve):
+    with λ₃ = min eigenvalue from the Cardano form, rows of ``A − λ₃I`` span
+    the plane orthogonal to the eigenvector, so the best-conditioned cross
+    product of two rows IS the eigenvector."""
+    lam3 = _sym3_eigvals(A)[..., 2]
+    B = A - lam3[..., None, None] * jnp.eye(3, dtype=A.dtype)
+    r0, r1, r2 = B[..., 0, :], B[..., 1, :], B[..., 2, :]
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    n01 = jnp.sum(c01 * c01, axis=-1)
+    n02 = jnp.sum(c02 * c02, axis=-1)
+    n12 = jnp.sum(c12 * c12, axis=-1)
+    stack = jnp.stack([c01, c02, c12], axis=-2)            # [..., 3, 3]
+    norms = jnp.stack([n01, n02, n12], axis=-1)            # [..., 3]
+    best = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(stack, best[..., None, None].astype(jnp.int32)
+                            .repeat(3, axis=-1), axis=-2)[..., 0, :]
+    nrm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    # degenerate (isotropic) → fall back to +z
+    fallback = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 1.0], dtype=A.dtype), v.shape)
+    return jnp.where(nrm > 1e-20, v / jnp.maximum(nrm, 1e-20), fallback)
 
 
 def _solve3(A: jax.Array, b: jax.Array):
@@ -154,7 +184,7 @@ def _leaf_normals(x, y, z, mask, leaf_size):
 
 @partial(jax.jit, static_argnames=("leaf_size", "method"))
 def estimate_normals(cloud: PointCloud, leaf_size: int = 8,
-                     method: str = "morton") -> NormalCloud:
+                     method: str = "kdsplit") -> NormalCloud:
     """Split-to-leaves normal estimation.
 
     Args:

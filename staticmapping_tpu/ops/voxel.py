@@ -89,15 +89,21 @@ def voxel_downsample(cloud: PointCloud, voxel_size, mode: str = "round"
 
 
 @partial(jax.jit, static_argnames=("mode",))
-def voxel_stats(cloud: PointCloud, voxel_size, mode: str = "round"):
+def voxel_stats(cloud: PointCloud, voxel_size, mode: str = "round",
+                origin=None):
     """Per-voxel Gaussian statistics (count, mean, covariance) — the
     building block for NDT (parity goal: pclomp VoxelGridCovariance).
 
+    ``origin`` (optional ``[3]``) shifts the lattice so indices are relative
+    to it (pclomp anchors its grid at the cloud min bound).
+
     Returns a dict of arrays with one slot per input point capacity:
-      count [N], mean [N, 3], cov [N, 3, 3], valid [N] (count > 0).
+      count [N], mean [N, 3], cov [N, 3, 3], valid [N] (count > 0),
+      voxel_key [N, 3] (lattice index of each occupied voxel slot).
     """
     n = cloud.capacity
-    keys = voxel_indices(cloud.xyz, voxel_size, mode)
+    xyz = cloud.xyz if origin is None else cloud.xyz - origin
+    keys = voxel_indices(xyz, voxel_size, mode)
     skeys, smask, (sx, sy, sz), seg_id = _sort_by_voxel(
         keys, cloud.mask, (cloud.xyz[:, 0], cloud.xyz[:, 1], cloud.xyz[:, 2]))
     pts = jnp.stack([sx, sy, sz], axis=1)
@@ -119,3 +125,11 @@ def voxel_stats(cloud: PointCloud, voxel_size, mode: str = "round"):
             jnp.where(smask[:, None], skeys, _INVALID_KEY), seg_id,
             num_segments=n),
     }
+
+
+def voxel_stats_floor(cloud: PointCloud, voxel_size, origin):
+    """Floor-lattice voxel Gaussians anchored at ``origin`` — the exact
+    binning pclomp's ``VoxelGridCovariance`` uses (leaf index =
+    floor((p − min_bound)/leaf_size)). Consumed by
+    :mod:`..registration.ndt`."""
+    return voxel_stats(cloud, voxel_size, mode="floor", origin=origin)

@@ -158,14 +158,17 @@ def align_ndt(source: PointCloud, ndt_map: NdtMap, guess: jax.Array,
     res = ndt_map.resolution
 
     # NDT Gaussian weight constants d1, d2 (Magnusson 2009 eq. 6.8,
-    # pclomp ndt_omp_impl.hpp gauss_d1_/gauss_d2_)
+    # pclomp ndt_omp_impl.hpp computeTransformation: c1 = 10(1−or),
+    # c2 = or/res³, d3 = −log c2, d1 = −log(c1+c2) − d3,
+    # d2 = −2 log((−log(c1·e^−½ + c2) − d3)/d1); d1 < 0 always)
     gauss_c1 = 10.0 * (1.0 - outlier_ratio)
-    gauss_c2 = outlier_ratio / float(res ** 0 if False else 1.0)
-    gauss_d3 = -np.log(gauss_c2)
-    gauss_d1 = -np.log(gauss_c1 + gauss_c2) - gauss_d3
-    gauss_d2 = -2.0 * np.log(
-        (-np.log(gauss_c1 * np.exp(-0.5) + gauss_c2) - gauss_d3) / gauss_d1)
-    d1, d2 = f32(gauss_d1), f32(gauss_d2)
+    gauss_c2 = outlier_ratio / res ** 3
+    gauss_d3 = -jnp.log(gauss_c2)
+    gauss_d1 = -jnp.log(gauss_c1 + gauss_c2) - gauss_d3
+    gauss_d2 = -2.0 * jnp.log(
+        (-jnp.log(gauss_c1 * jnp.exp(f32(-0.5)) + gauss_c2) - gauss_d3)
+        / gauss_d1)
+    d1, d2 = gauss_d1.astype(f32), gauss_d2.astype(f32)
 
     src = source.xyz
     src_mask = source.mask
@@ -194,13 +197,16 @@ def align_ndt(source: PointCloud, ndt_map: NdtMap, guess: jax.Array,
         q = pts[:, None, :] - mu                             # [N, K, 3]
         lam_q = jnp.einsum("nkij,nkj->nki", lam, q)          # Λq
         md2 = jnp.sum(q * lam_q, axis=2)                     # qᵀΛq [N, K]
-        # classic NDT Gaussian weight; IRLS weight = d1·d2·exp(−d2/2·md2)
-        w = jnp.where(hit, d1 * d2 * jnp.exp(-0.5 * d2 * md2), 0.0)
+        # classic NDT Gaussian robust weight (Magnusson 2009 eq. 6.12;
+        # pclomp updateDerivatives e_x_cov_x scaling).  gauss_d1 < 0 by
+        # construction, so −d1·d2·e is the POSITIVE IRLS weight.
+        w = jnp.where(hit, -d1 * d2 * jnp.exp(-0.5 * d2 * md2), 0.0)
         # Gauss-Newton on r(ξ) = q with metric w·Λ:
         #   J = [−[p]ₓ | I] (left perturbation), A = Σ w JᵀΛJ, b = −Σ w JᵀΛq
         px = pts
-        # JᵀΛq: rotation part = −p × (Λq) summed over K, translation = Λq
-        rot_g = -jnp.cross(px[:, None, :], lam_q)            # [N, K, 3]
+        # JᵀΛq: rotation block = Jrotᵀ(Λq) = [p]ₓ(Λq) = p × (Λq)
+        # (Jrot = −[p]ₓ, skew transpose flips the sign), translation = Λq
+        rot_g = jnp.cross(px[:, None, :], lam_q)             # [N, K, 3]
         g = jnp.concatenate([rot_g, lam_q], axis=2)          # [N, K, 6]
         b_vec = -jnp.sum(w[..., None] * g, axis=(0, 1))      # [6]
         # A = Σ w Gᵀ Λ⁻¹?? — use JᵀΛJ built from G blocks:
