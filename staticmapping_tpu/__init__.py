@@ -9,3 +9,14 @@ TPU meshes.
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# Geometry everywhere in this library (pose products, point transforms,
+# covariance solves) needs f32 matmuls.  On TPU the *default* matmul
+# precision is bf16-in/f32-acc, whose ~2⁻⁸ input rounding is catastrophic
+# for 4×4 pose chains and metre-scale point coordinates (a 50 m coordinate
+# rounds by ~0.25 m).  Force full-f32 passes by default; the deliberately
+# throughput-bound kernels (ops/nn_search.py) already pin their own
+# precision explicitly, so this only affects small/accuracy-critical ops.
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -256,87 +256,81 @@ class PriorFactorBatch:
 
 
 # --------------------------------------------------------------------------
-# the jitted solver
+# shared per-factor linearizations (used by the dense and the PCG solver)
 # --------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("num_iters",))
-def gauss_newton(poses, node_mask,
-                 fi, fj, T_meas, inv_sigmas, fmask,
-                 gi, g_enu, g_ptg, g_inv_s, g_use_err, gmask,
-                 gps_coord_idx, gps_calib_idx,
-                 oi, o_T, o_inv_s, omask, odom_calib_idx, huber_k,
-                 pi, p_T, p_inv_s, pmask,
-                 num_iters: int = 8, damping: float = 1e-6,
-                 gauge_weight: float = 1e8):
-    """Run ``num_iters`` GN iterations over all factor types.
+_F32 = jnp.float32
+_HI = jax.lax.Precision.HIGHEST
 
-    poses: [N, 4, 4] f32 (regular nodes + special nodes, see node indices
-    passed as data). Node 0 is gauge-fixed by a heavy diagonal prior.
-    All factor arrays are padded to capacity with masks.
-    """
-    n = poses.shape[0]
-    n6 = n * 6
-    f32 = jnp.float32
-    hi = jax.lax.Precision.HIGHEST
-    rows6 = jnp.arange(6, dtype=jnp.int32)
 
-    def linearize_between(T_i, T_j, Tm, w, valid):
-        M = se3.inverse(Tm) @ se3.inverse(T_i) @ T_j
-        r = se3.log_se3(M)
-        Jri = _jr_inv(r)
-        Jj = Jri
-        Ji = -Jri @ _adjoint(se3.inverse(T_j) @ T_i)
-        w = w * valid
-        Wr = r * w
-        JiW = Ji * w[:, None]
-        JjW = Jj * w[:, None]
-        H_ii = jnp.matmul(JiW.T, JiW, precision=hi)
-        H_ij = jnp.matmul(JiW.T, JjW, precision=hi)
-        H_jj = jnp.matmul(JjW.T, JjW, precision=hi)
-        b_i = jnp.matmul(JiW.T, Wr, precision=hi)
-        b_j = jnp.matmul(JjW.T, Wr, precision=hi)
-        return H_ii, H_ij, H_jj, b_i, b_j
+def _lin_between(T_i, T_j, Tm, w, valid):
+    M = se3.inverse(Tm) @ se3.inverse(T_i) @ T_j
+    r = se3.log_se3(M)
+    Jri = _jr_inv(r)
+    Jj = Jri
+    Ji = -Jri @ _adjoint(se3.inverse(T_j) @ T_i)
+    w = w * valid
+    Wr = r * w
+    JiW = Ji * w[:, None]
+    JjW = Jj * w[:, None]
+    H_ii = jnp.matmul(JiW.T, JiW, precision=_HI)
+    H_ij = jnp.matmul(JiW.T, JjW, precision=_HI)
+    H_jj = jnp.matmul(JjW.T, JjW, precision=_HI)
+    b_i = jnp.matmul(JiW.T, Wr, precision=_HI)
+    b_j = jnp.matmul(JjW.T, Wr, precision=_HI)
+    return H_ii, H_ij, H_jj, b_i, b_j
 
-    def linearize_gps(T_i, T_c, T_e, ptg, enu, use_err, w3, valid):
-        xi0 = jnp.zeros((18,), dtype=f32)
-        r = _gps_residual(xi0, T_i, T_c, T_e, ptg, enu, use_err)
-        J = jax.jacfwd(_gps_residual)(xi0, T_i, T_c, T_e, ptg, enu, use_err)
-        w = w3 * valid
-        Wr = r * w
-        JW = J * w[:, None]            # [3, 18]
-        H = jnp.matmul(JW.T, JW, precision=hi)   # [18, 18]
-        b = jnp.matmul(JW.T, Wr, precision=hi)   # [18]
-        return H, b
 
-    def linearize_odom(T_i, T_k, To, w6, valid, k):
-        xi0 = jnp.zeros((12,), dtype=f32)
-        r = _odom_residual(xi0, T_i, T_k, To)
-        J = jax.jacfwd(_odom_residual)(xi0, T_i, T_k, To)
-        # Huber(k) IRLS weight on the whitened residual
-        # (NM::Robust Huber(1), isam_optimizer.cc:92)
-        rw = r * w6
-        norm = jnp.sqrt(jnp.maximum(jnp.sum(rw * rw), 1e-12))
-        wh = jnp.sqrt(jnp.minimum(1.0, k / norm))
-        w = w6 * valid * wh
-        Wr = r * w
-        JW = J * w[:, None]            # [6, 12]
-        H = jnp.matmul(JW.T, JW, precision=hi)
-        b = jnp.matmul(JW.T, Wr, precision=hi)
-        return H, b
+def _lin_gps(T_i, T_c, T_e, ptg, enu, use_err, w3, valid):
+    xi0 = jnp.zeros((18,), dtype=_F32)
+    r = _gps_residual(xi0, T_i, T_c, T_e, ptg, enu, use_err)
+    J = jax.jacfwd(_gps_residual)(xi0, T_i, T_c, T_e, ptg, enu, use_err)
+    w = w3 * valid
+    Wr = r * w
+    JW = J * w[:, None]            # [3, 18]
+    H = jnp.matmul(JW.T, JW, precision=_HI)   # [18, 18]
+    b = jnp.matmul(JW.T, Wr, precision=_HI)   # [18]
+    return H, b
 
-    def linearize_prior(T, Tp, w6, valid):
-        xi0 = jnp.zeros((6,), dtype=f32)
-        r = _prior_residual(xi0, T, Tp)
-        J = jax.jacfwd(_prior_residual)(xi0, T, Tp)
-        w = w6 * valid
-        Wr = r * w
-        JW = J * w[:, None]
-        return (jnp.matmul(JW.T, JW, precision=hi),
-                jnp.matmul(JW.T, Wr, precision=hi))
+
+def _lin_odom(T_i, T_k, To, w6, valid, k):
+    xi0 = jnp.zeros((12,), dtype=_F32)
+    r = _odom_residual(xi0, T_i, T_k, To)
+    J = jax.jacfwd(_odom_residual)(xi0, T_i, T_k, To)
+    # Huber(k) IRLS weight on the whitened residual
+    # (NM::Robust Huber(1), isam_optimizer.cc:92)
+    rw = r * w6
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(rw * rw), 1e-12))
+    wh = jnp.sqrt(jnp.minimum(1.0, k / norm))
+    w = w6 * valid * wh
+    Wr = r * w
+    JW = J * w[:, None]            # [6, 12]
+    H = jnp.matmul(JW.T, JW, precision=_HI)
+    b = jnp.matmul(JW.T, Wr, precision=_HI)
+    return H, b
+
+
+def _lin_prior(T, Tp, w6, valid):
+    xi0 = jnp.zeros((6,), dtype=_F32)
+    r = _prior_residual(xi0, T, Tp)
+    J = jax.jacfwd(_prior_residual)(xi0, T, Tp)
+    w = w6 * valid
+    Wr = r * w
+    JW = J * w[:, None]
+    return (jnp.matmul(JW.T, JW, precision=_HI),
+            jnp.matmul(JW.T, Wr, precision=_HI))
+
+
+def _make_total_cost(fi, fj, T_meas, inv_sigmas, fmask,
+                     gi, g_enu, g_ptg, g_inv_s, g_use_err, gmask,
+                     gps_coord_idx, gps_calib_idx,
+                     oi, o_T, o_inv_s, omask, odom_calib_idx, huber_k,
+                     pi, p_T, p_inv_s, pmask):
+    """Weighted SSE over every factor type (for LM accept/reject).
+    Huber on the odom factors is applied as its IRLS weight."""
+    f32 = _F32
 
     def total_cost(poses):
-        """Weighted SSE over every factor type (for LM accept/reject).
-        Huber on the odom factors is applied as its IRLS weight."""
         def between_one(T_i, T_j, Tm, w, valid):
             r = se3.log_se3(se3.inverse(Tm) @ se3.inverse(T_i) @ T_j)
             wr = r * w * valid
@@ -375,6 +369,44 @@ def gauss_newton(poses, node_mask,
         c += jnp.sum(jax.vmap(prior_one)(
             poses[pi], p_T, p_inv_s, pmask.astype(f32)[:, None]))
         return c
+
+    return total_cost
+
+
+# --------------------------------------------------------------------------
+# the jitted dense solver (small graphs — one MXU solve)
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("num_iters",))
+def gauss_newton(poses, node_mask,
+                 fi, fj, T_meas, inv_sigmas, fmask,
+                 gi, g_enu, g_ptg, g_inv_s, g_use_err, gmask,
+                 gps_coord_idx, gps_calib_idx,
+                 oi, o_T, o_inv_s, omask, odom_calib_idx, huber_k,
+                 pi, p_T, p_inv_s, pmask,
+                 num_iters: int = 8, damping: float = 1e-6,
+                 gauge_weight: float = 1e8):
+    """Run ``num_iters`` GN iterations over all factor types.
+
+    poses: [N, 4, 4] f32 (regular nodes + special nodes, see node indices
+    passed as data). Node 0 is gauge-fixed by a heavy diagonal prior.
+    All factor arrays are padded to capacity with masks.
+    """
+    n = poses.shape[0]
+    n6 = n * 6
+    f32 = jnp.float32
+    rows6 = jnp.arange(6, dtype=jnp.int32)
+
+    linearize_between = _lin_between
+    linearize_gps = _lin_gps
+    linearize_odom = _lin_odom
+    linearize_prior = _lin_prior
+    total_cost = _make_total_cost(
+        fi, fj, T_meas, inv_sigmas, fmask,
+        gi, g_enu, g_ptg, g_inv_s, g_use_err, gmask,
+        gps_coord_idx, gps_calib_idx,
+        oi, o_T, o_inv_s, omask, odom_calib_idx, huber_k,
+        pi, p_T, p_inv_s, pmask)
 
     def gn_step(carry, _):
         poses, lam = carry
@@ -538,10 +570,19 @@ class PoseGraph:
         return (len(self.gps_factors) + len(self.odom_factors)
                 + len(self.prior_factors)) > 0
 
-    def optimize(self, poses_np: np.ndarray, num_iters: int = 8
-                 ) -> np.ndarray:
+    # past this node count the dense [6n, 6n] solve is replaced by the
+    # matrix-free block-sparse PCG solver (pose_graph_sparse.py)
+    DENSE_NODE_LIMIT = 192
+
+    def optimize(self, poses_np: np.ndarray, num_iters: int = 8,
+                 solver: str = "auto", mesh=None) -> np.ndarray:
         """poses_np [n, 4, 4] f64 → optimized [n, 4, 4] f64. Special-node
-        estimates are updated in ``self.special_values``."""
+        estimates are updated in ``self.special_values``.
+
+        solver: "dense" (one MXU ``linalg.solve`` — small graphs),
+        "pcg" (matrix-free block-sparse GN+PCG — scales to 10⁴+ nodes), or
+        "auto" (pick by node count).  ``mesh`` switches the PCG path to the
+        sharded-linearization solver (between factors sharded + psum)."""
         from ..common import np_se3
         n = self.num_nodes
         assert poses_np.shape[0] == n
@@ -579,15 +620,26 @@ class PoseGraph:
             self.prior_factors.T_prior, self.prior_factors.sigmas)
         pi, p_T, p_inv_s, pmask = pf.device_arrays(pcap)
 
-        out, chi2, self.last_trace = gauss_newton(
-            jnp.asarray(poses), jnp.asarray(node_mask),
-            fi, fj, Tm, inv_s, fmask,
-            gi, g_enu, g_ptg, g_inv_s, g_ue, gmask,
-            jnp.int32(gps_coord_idx), jnp.int32(gps_calib_idx),
-            oi, o_T, o_inv_s, omask, jnp.int32(odom_calib_idx),
-            jnp.float32(1.0),
-            pi, p_T, p_inv_s, pmask,
-            num_iters=num_iters)
+        if solver == "auto":
+            solver = "dense" if ncap <= self.DENSE_NODE_LIMIT else "pcg"
+        args = (jnp.asarray(poses), jnp.asarray(node_mask),
+                fi, fj, Tm, inv_s, fmask,
+                gi, g_enu, g_ptg, g_inv_s, g_ue, gmask,
+                jnp.int32(gps_coord_idx), jnp.int32(gps_calib_idx),
+                oi, o_T, o_inv_s, omask, jnp.int32(odom_calib_idx),
+                jnp.float32(1.0),
+                pi, p_T, p_inv_s, pmask)
+        if solver == "dense":
+            out, chi2, self.last_trace = gauss_newton(
+                *args, num_iters=num_iters)
+        elif mesh is not None:
+            from . import pose_graph_sparse
+            out, chi2, self.last_trace = pose_graph_sparse.solve_sharded(
+                mesh, *args, num_iters=num_iters)
+        else:
+            from . import pose_graph_sparse
+            out, chi2, self.last_trace = pose_graph_sparse.gauss_newton_pcg(
+                *args, num_iters=num_iters)
         self.last_chi2 = float(chi2)
         out = np.asarray(out, dtype=np.float64)
         for k in range(NUM_SPECIAL_NODES):

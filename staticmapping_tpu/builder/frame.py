@@ -44,6 +44,10 @@ class SubmapOptions:
     enable_inner_mrvm: bool = False
     enable_random_sampling: bool = False
     random_sampling_rate: float = 0.5
+    # disk offload (submap.cc:197-236 + memory_manager.cc:51-62)
+    enable_disk_saving: bool = False
+    disk_saving_delay: int = 30       # inactive seconds before RAM release
+    saving_name_prefix: str = "s_"
 
 
 class Submap:

@@ -29,7 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..common import np_se3
+from ..common import np_se3, prof
 from ..data import cloud as cloud_lib
 from ..data.cloud import PointCloud
 from ..ops.normals import estimate_normals
@@ -57,6 +57,7 @@ class FrontEndOptions:
     motion_compensation: bool = True
     use_average: bool = True
     # matcher knobs (icp_fast.h:56-60)
+    matcher_type: int = 6          # registrator::Type (interface.h:41-50)
     max_iteration: int = 100
     dist_outlier_ratio: float = 0.7
     # TPU shape knobs
@@ -86,6 +87,13 @@ class FrontEnd:
         self.got_first = False
         self.last_score = 1.0
         self.num_scans = 0
+        # non-default matcher backends (type 1/3/5) go through the factory
+        # (CreateMatcher role, interface.cc:139-173); type 6 keeps the
+        # specialized icp_fast path with target-normal caching below.
+        self.matcher = None
+        if self.options.matcher_type != 6:
+            from ..registration.factory import create_matcher
+            self.matcher = create_matcher(self.options.matcher_type)
 
     # ------------------------------------------------------------------
     def _prepare(self, points: np.ndarray) -> PointCloud:
@@ -95,15 +103,41 @@ class FrontEnd:
             pc = self.filter_chain(pc)
         return pc
 
+    def _set_target(self, pc: PointCloud) -> None:
+        # "scan match:target" block (map_builder.cc:316)
+        with prof.block("scan match:target"):
+            if self.matcher is None:
+                self.target = estimate_normals(
+                    pc.compact(), leaf_size=self.options.target_leaf_size)
+            else:
+                self.target = pc.compact()
+                self.matcher.set_input_target(self.target)
+
+    def _align(self, source: PointCloud, guess: jax.Array):
+        # "scan match:align" block (map_builder.cc:332)
+        with prof.block("scan match:align"):
+            if self.matcher is None:
+                return align_point_to_plane(
+                    source, self.target, guess,
+                    dist_outlier_ratio=self.options.dist_outlier_ratio,
+                    max_iteration=self.options.max_iteration,
+                    tile=self.options.nn_tile)
+            self.matcher.set_input_source(source)
+            return self.matcher.align(guess)
+
     def process(self, stamp: float, points: np.ndarray) -> Optional[Frame]:
+        # "FrontEndOneFrame" block (map_builder.cc:295)
+        with prof.block("FrontEndOneFrame"):
+            return self._process(stamp, points)
+
+    def _process(self, stamp: float, points: np.ndarray) -> Optional[Frame]:
         opts = self.options
         self.num_scans += 1
         pc = self._prepare(points)
 
         if not self.got_first:
             self.got_first = True
-            self.target = estimate_normals(pc.compact(),
-                                           leaf_size=opts.target_leaf_size)
+            self._set_target(pc)
             self.extrapolator.add_pose(stamp, np.eye(4))
             self.pose_target = np.eye(4)
             return Frame(stamp=stamp, cloud=pc, global_pose=np.eye(4),
@@ -112,8 +146,7 @@ class FrontEnd:
         last_t = self.extrapolator.last_pose_time()
         if last_t is not None and stamp < last_t:
             # stale scan (map_builder.cc:296-301): resync target
-            self.target = estimate_normals(pc.compact(),
-                                           leaf_size=opts.target_leaf_size)
+            self._set_target(pc)
             return None
 
         pose_source = self.extrapolator.extrapolate_pose(stamp)
@@ -125,11 +158,8 @@ class FrontEnd:
             delta = np_se3.inverse(self.accumulative) @ guess
             source = _compensate(pc, jnp.asarray(delta, dtype=jnp.float32))
 
-        T_align, score = align_point_to_plane(
-            source, self.target, jnp.asarray(guess, dtype=jnp.float32),
-            dist_outlier_ratio=opts.dist_outlier_ratio,
-            max_iteration=opts.max_iteration,
-            tile=opts.nn_tile)
+        T_align, score = self._align(
+            source, jnp.asarray(guess, dtype=jnp.float32))
         align_result = np.asarray(T_align, dtype=np.float64)
         align_result = np_se3.normalize_rotation(align_result)
         self.last_score = float(score)
@@ -156,8 +186,7 @@ class FrontEnd:
                           global_pose=pose_source,
                           match_score=self.last_score)
             self.accumulative = np.eye(4)
-            self.target = estimate_normals(source.compact(),
-                                           leaf_size=opts.target_leaf_size)
+            self._set_target(source)
             self.pose_target = pose_source
             return frame
         return None

@@ -62,8 +62,15 @@ class MapBuilder:
                  filter_chain: Optional[Callable] = None,
                  backend=None):
         self.options = options or MapBuilderOptions()
+        # use_imu selects the IMU-driven extrapolator mode
+        # (map_builder.cc:68-75: InitialWithImu vs InitialSimpleCTRV)
+        extrapolator = None
+        if self.options.use_imu:
+            from .pose_extrapolator import PoseExtrapolator
+            extrapolator = PoseExtrapolator(mode=PoseExtrapolator.MODE_IMU)
         self.front_end = FrontEnd(self.options.front_end,
-                                  filter_chain=filter_chain)
+                                  filter_chain=filter_chain,
+                                  extrapolator=extrapolator)
         self.data_collector = DataCollector(self.options.data_collector)
         self.trajectory = Trajectory(0)
         self.backend = backend        # attached pose-graph optimizer or None
@@ -173,6 +180,12 @@ class MapBuilder:
         """SubmapPairMatch parity (map_builder.cc:399-446): register submap
         ``source`` onto its predecessor; the predecessor stores the matched
         transform-to-next (used as the sequential pose-graph factor)."""
+        from ..common import prof
+        with prof.block("SubmapPairMatch"):
+            self._submap_pair_match_inner(source_index, target_index)
+
+    def _submap_pair_match_inner(self, source_index: int,
+                                 target_index: int) -> None:
         source = self.trajectory[source_index]
         target = self.trajectory[target_index]
         guess = np_se3.inverse(target.frames[0].global_pose) @ \

@@ -143,11 +143,18 @@ def slerp(q0, q1, t):
 # ---------------------------------------------------------------------------
 
 def _theta_safe(sq):
-    """(theta², small-mask, safe-theta) — the double-``where`` guard that
+    """(small-mask, safe-theta) — the double-``where`` guard that
     keeps both primal AND autodiff tangents finite at theta = 0 (the naive
     ``norm``/division forms produce NaN Jacobians, which poisons the
-    pose-graph autodiff factor linearization)."""
-    small = sq < 1e-10
+    pose-graph autodiff factor linearization).
+
+    The switch point is theta < 0.1 (sq < 1e-2) — far larger than the usual
+    ~1e-5 guard because these run in f32: terms like ``1 − cos(theta)``
+    underflow f32 for theta < ~1e-3 (1−c ≈ 5e-7 at theta=1e-3, i.e. only a
+    few ulps), turning the exact quotient forms into garbage.  At theta=0.1
+    the 3-term Taylor series below are accurate to ~1e-10 — better than the
+    exact forms in f32 — so the wide switch loses nothing."""
+    small = sq < 1e-2
     theta = jnp.sqrt(jnp.where(small, 1.0, sq))
     return small, theta
 
@@ -160,8 +167,8 @@ def axis_angle_to_matrix(w):
     sq = jnp.sum(w * w, axis=-1, keepdims=True)[..., None]
     small, theta = _theta_safe(sq)
     s, c = jnp.sin(theta), jnp.cos(theta)
-    a = jnp.where(small, 1.0 - sq / 6.0, s / theta)
-    b = jnp.where(small, 0.5 - sq / 24.0, (1.0 - c) / sq)
+    a = jnp.where(small, 1.0 - sq / 6.0 + sq * sq / 120.0, s / theta)
+    b = jnp.where(small, 0.5 - sq / 24.0 + sq * sq / 720.0, (1.0 - c) / sq)
     S = skew(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), S.shape)
     return eye + a * S + b * (S @ S)
@@ -173,8 +180,12 @@ def matrix_to_axis_angle(R):
     v = q[..., 1:]
     sq = jnp.sum(v * v, axis=-1, keepdims=True)
     small, n = _theta_safe(sq)
-    # angle/|v| = 2·atan2(|v|, w)/|v| → 2/w as |v| → 0 (w ≈ 1 there)
-    scale = jnp.where(small, 2.0 / jnp.maximum(w, 0.5),
+    # angle/|v| = 2·atan2(|v|, w)/|v|; for small |v| use the atan series
+    # 2/w · (1 − x²/3 + x⁴/5), x = |v|/w  (w ≥ 0.995 inside the guard)
+    ws = jnp.maximum(w, 0.5)
+    x2 = sq / (ws * ws)
+    scale = jnp.where(small,
+                      (2.0 / ws) * (1.0 - x2 / 3.0 + x2 * x2 / 5.0),
                       2.0 * jnp.arctan2(n, w) / n)
     return v * scale
 
@@ -332,8 +343,9 @@ def exp_se3(xi):
     sq = jnp.sum(phi * phi, axis=-1, keepdims=True)[..., None]
     small, theta = _theta_safe(sq)
     s, c = jnp.sin(theta), jnp.cos(theta)
-    b = jnp.where(small, 0.5 - sq / 24.0, (1.0 - c) / sq)
-    cc = jnp.where(small, 1.0 / 6.0 - sq / 120.0, (theta - s) / (sq * theta))
+    b = jnp.where(small, 0.5 - sq / 24.0 + sq * sq / 720.0, (1.0 - c) / sq)
+    cc = jnp.where(small, 1.0 / 6.0 - sq / 120.0 + sq * sq / 5040.0,
+                   (theta - s) / (sq * theta))
     S = skew(phi)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), R.shape)
     V = eye + b * S + cc * (S @ S)
@@ -348,7 +360,7 @@ def log_se3(T):
     small, theta = _theta_safe(sq)
     s, c = jnp.sin(theta), jnp.cos(theta)
     e = jnp.where(
-        small, 1.0 / 12.0 + sq / 720.0,
+        small, 1.0 / 12.0 + sq / 720.0 + sq * sq / 30240.0,
         (1.0 - 0.5 * theta * s / jnp.maximum(1.0 - c, _EPS)) / sq)
     S = skew(phi)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), S.shape)

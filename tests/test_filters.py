@@ -130,3 +130,75 @@ def test_filters_preserve_stamps_and_factors():
     pc = grid_cloud()
     out = RangeFilter(min_range=0.0, max_range=100.0)(pc)
     np.testing.assert_allclose(np.asarray(out.factor), np.asarray(pc.factor))
+
+
+# ---------------------------------------------------------------------------
+# GroundRemoval2 (filters/ground_removal2.py) and RangeImage
+# (filters/range_image.py)
+# ---------------------------------------------------------------------------
+
+def _ground_scene(n_g=4000, n_b=800, seed=0):
+    rng = np.random.default_rng(seed)
+    r = rng.uniform(2, 40, n_g)
+    th = rng.uniform(0, 2 * np.pi, n_g)
+    ground = np.column_stack([r * np.cos(th), r * np.sin(th),
+                              rng.normal(0, 0.01, n_g)])
+    box = np.column_stack([rng.uniform(9, 11, n_b),
+                           rng.uniform(-1, 1, n_b),
+                           rng.uniform(0.3, 2.0, n_b)])
+    pts = np.vstack([ground, box]).astype(np.float32)
+    return cloud_lib.from_numpy(pts, capacity=8192), n_g, n_b
+
+
+def test_ground_removal2_removes_ground_keeps_objects():
+    from staticmapping_tpu.filters import GroundRemoval2Filter
+    pc, n_g, n_b = _ground_scene()
+    f = GroundRemoval2Filter(start_ground_height=0.0, max_start_height=0.3)
+    gm = np.asarray(f.ground_mask(pc))
+    # most of the flat ground is labeled ground, nothing on the box is
+    assert gm[:n_g].sum() > 0.9 * n_g
+    assert gm[n_g:n_g + n_b].sum() == 0
+    out = f(pc)
+    kept = int(np.asarray(out.mask).sum())
+    assert kept == int(np.asarray(pc.mask).sum()) - int(gm.sum())
+
+
+def test_ground_removal2_config_names():
+    from staticmapping_tpu.filters.filters import create_filter
+    f = create_filter("GroundRemoval2", {
+        "r_min": 0.1, "start_ground_height": -0.35,
+        "long_line_threshold": 10, "max_slope": 0.12,
+        "max_error": 0.1, "max_dist_to_line": 0.10,
+        "max_start_height": 0.6, "thread_num": 4})
+    assert f.r_min == 0.1 and f.thread_num == 4
+
+
+def test_range_image_one_point_per_pixel():
+    from staticmapping_tpu.filters import RangeImageFilter
+    pc, _, _ = _ground_scene()
+    f = RangeImageFilter(vertical_line_num=40, horizontal_line_num=900,
+                         btm_angle=-30, top_angle=30)
+    out = f(pc)
+    kept = int(np.asarray(out.mask).sum())
+    img = f.to_image(pc)
+    assert kept == int((img > 0).sum())
+    assert kept < int(np.asarray(pc.mask).sum())
+
+
+def test_range_image_depth_cluster_separates_objects():
+    from staticmapping_tpu.filters import RangeImageFilter
+    # two distinct walls at different azimuths → different clusters
+    rng = np.random.default_rng(1)
+    wall1 = np.column_stack([np.full(600, 10.0), rng.uniform(-2, 2, 600),
+                             rng.uniform(-1, 1, 600)])
+    wall2 = np.column_stack([-np.full(600, 8.0), rng.uniform(-2, 2, 600),
+                             rng.uniform(-1, 1, 600)])
+    pc = cloud_lib.from_numpy(
+        np.vstack([wall1, wall2]).astype(np.float32), capacity=2048)
+    f = RangeImageFilter(vertical_line_num=40, horizontal_line_num=900,
+                         btm_angle=-30, top_angle=30)
+    labels = np.asarray(f.depth_cluster(pc))
+    l1 = labels[:600][labels[:600] > 0]
+    l2 = labels[600:1200][labels[600:1200] > 0]
+    assert len(l1) and len(l2)
+    assert set(np.unique(l1)).isdisjoint(set(np.unique(l2)))
