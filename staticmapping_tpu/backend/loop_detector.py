@@ -191,8 +191,9 @@ class LoopDetector:
     # ------------------------------------------------------------------
     def _target_normals(self, index: int):
         if index not in self._target_cache:
-            self._target_cache[index] = estimate_normals(
-                self.frames[index].cloud.compact(),
+            from ..builder.frontend import _target_normals as fused_normals
+            self._target_cache[index] = fused_normals(
+                self.frames[index].cloud,
                 leaf_size=self.settings.normal_leaf_size)
             # keep the cache bounded
             if len(self._target_cache) > 32:

@@ -55,6 +55,7 @@ class OptimizerOptions:
     gps_factor_init_angle_rad: float = 0.5
     gps_factor_sample_step: int = 1
     gn_iterations: int = 8
+    output_graph_pic: bool = False    # isam_optimizer.h:62 (ViewGraph png)
 
 
 class IncrementalOptimizer:
@@ -65,6 +66,8 @@ class IncrementalOptimizer:
         self.options = options or OptimizerOptions()
         self.loop_detector = LoopDetector(loop_settings)
         self.graph = PoseGraph()
+        from .view_graph import ViewGraph
+        self.view_graph = ViewGraph()
         self.loop_edge_count = 0
         self._dirty = False       # factors pending a solve
         self.tf_odom_lidar = (np.eye(4) if tf_odom_lidar is None
@@ -95,6 +98,7 @@ class IncrementalOptimizer:
 
         idx = self.graph.add_node()
         assert idx == submap.id == len(self.loop_detector.frames)
+        self.view_graph.add_vertex(idx, submap.global_pose)
 
         if idx > 0:
             prev = trajectory[idx - 1]
@@ -107,10 +111,12 @@ class IncrementalOptimizer:
                     submap.global_pose
             self.graph.add_between(idx - 1, idx, T_prev_cur,
                                    FRAME_MATCH_SIGMAS)
+            self.view_graph.add_edge(idx - 1, idx, T_prev_cur)
             # chain the global pose from the matched transform
             # (ConnectAllSubmap, map_builder.cc:484-489)
             submap.global_pose = np_se3.normalize_rotation(
                 prev.global_pose @ T_prev_cur)
+            self.view_graph.add_vertex(idx, submap.global_pose)
 
         # odom extrinsic-calibration factor (isam_optimizer.cc:209-224)
         if opts.use_odom and getattr(submap, "related_odom", None) is not None:
@@ -132,6 +138,8 @@ class IncrementalOptimizer:
             for edge in result.edges:
                 self.graph.add_between(edge.target_index, edge.source_index,
                                        edge.transform, LOOP_CLOSURE_SIGMAS)
+                self.view_graph.add_edge(edge.target_index,
+                                         edge.source_index, edge.transform)
                 self.loop_edge_count += 1
             self._dirty = True
 
@@ -218,7 +226,19 @@ class IncrementalOptimizer:
                                   num_iters=self.options.gn_iterations)
         for s, T in zip(trajectory, out):
             s.global_pose = T
+            # UpdateAllPose mirrors poses into the ViewGraph
+            # (isam_optimizer.cc:106-125)
+            self.view_graph.add_vertex(s.id, T)
         self._dirty = False
+
+    def save_view_graph(self, out_dir: str) -> None:
+        """ViewGraph text + png export (view_graph.h:61-63; saved at
+        shutdown when output_graph_pic is on, isam_optimizer.h:62)."""
+        import os
+        os.makedirs(out_dir, exist_ok=True)
+        self.view_graph.save_text_file(os.path.join(out_dir,
+                                                    "view_graph.txt"))
+        self.view_graph.save_image(os.path.join(out_dir, "view_graph.png"))
 
     def run_final_optimization(self, trajectory) -> None:
         """RunFinalOptimazation parity (isam_optimizer.cc:351-368)."""

@@ -8,14 +8,48 @@ float64 (like the reference's Eigen::Matrix4d bookkeeping).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import List, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
-from ..common import np_se3
+from ..common import np_se3, se3
 from ..data.cloud import PointCloud, concat as cloud_concat
 from ..ops import voxel as voxel_ops
+
+
+@partial(jax.jit, static_argnames=("capacity", "voxel_mode"))
+def _merge_frames(clouds, local_poses, capacity: int, voxel_size,
+                  voxel_mode):
+    """Fused submap merge (Submap::InsertFrame merge step, submap.cc:98-162):
+    transform every frame's cloud into the submap-local frame, flatten,
+    compact to ``capacity``, optional voxel filter — ONE device dispatch.
+
+    clouds: tuple of per-frame ``PointCloud``s (stacked inside the jit so
+    the host loop issues no eager ops), local_poses [F, 4, 4];
+    ``voxel_mode`` None disables the voxel filter."""
+    xyz = jnp.stack([c.xyz for c in clouds])
+    intensity = jnp.stack([c.intensity for c in clouds])
+    factor = jnp.stack([c.factor for c in clouds])
+    mask = jnp.stack([c.mask for c in clouds])
+    pts = se3.apply(local_poses, xyz)     # [F, N, 3], T broadcast over N
+    flat = PointCloud(
+        xyz=pts.reshape(-1, 3),
+        intensity=intensity.reshape(-1),
+        factor=factor.reshape(-1),
+        mask=mask.reshape(-1),
+    ).compact()
+    merged = PointCloud(
+        xyz=flat.xyz[:capacity],
+        intensity=flat.intensity[:capacity],
+        factor=flat.factor[:capacity],
+        mask=flat.mask[:capacity])
+    if voxel_mode is not None:
+        merged = voxel_ops.voxel_downsample(merged, voxel_size,
+                                            mode=voxel_mode)
+    return merged
 
 
 @dataclasses.dataclass
@@ -52,16 +86,22 @@ class SubmapOptions:
 
 class Submap:
     """Container of ``frame_count`` frames merged in the first frame's
-    coordinate system (Submap::InsertFrame, builder/submap.cc:76-163)."""
+    coordinate system (Submap::InsertFrame, builder/submap.cc:76-163).
+
+    Disk offload parity (submap.cc:197-236 + memory_manager.cc:51-62):
+    when ``options.enable_disk_saving`` and a save dir is attached, the
+    merged cloud can be written to disk and dropped from device/host RAM
+    (:meth:`offload`), transparently reloading on the next ``.cloud``
+    access (``Submap::Cloud`` reload-on-access, submap.cc:217-222)."""
 
     def __init__(self, submap_id: int, options: SubmapOptions,
-                 capacity: int):
+                 capacity: int, save_dir: Optional[str] = None):
         self.id = submap_id
         self.options = options
         self.capacity = capacity
         self.frames: List[Frame] = []
         self.global_pose: np.ndarray = np.eye(4)   # pose of first frame
-        self.cloud: Optional[PointCloud] = None    # merged, submap-local
+        self._cloud: Optional[PointCloud] = None   # merged, submap-local
         self.descriptor: Optional[np.ndarray] = None
         self.match_transform_to_next: Optional[np.ndarray] = None
         self.match_score_to_previous: float = 1.0
@@ -70,6 +110,78 @@ class Submap:
         # (SetRelatedGpsInENU / SetRelatedOdom, map_builder.cc:690-701)
         self.related_gps_enu: Optional[np.ndarray] = None   # [3]
         self.related_odom: Optional[np.ndarray] = None      # [4, 4]
+        # disk offload state
+        self.save_dir = save_dir
+        self.inactive_time: float = 0.0
+        self._on_disk = False
+
+    # ------------------------------------------------- cloud + offload --
+    @property
+    def cloud(self) -> Optional[PointCloud]:
+        """Reload-on-access (submap.cc:217-222); touching resets the
+        inactivity age."""
+        self.inactive_time = 0.0
+        if self._cloud is None and self._on_disk:
+            self._load_from_disk()
+        return self._cloud
+
+    @cloud.setter
+    def cloud(self, value: Optional[PointCloud]):
+        self._cloud = value
+
+    @property
+    def cloud_in_memory(self) -> bool:
+        return self._cloud is not None
+
+    def _disk_path(self) -> str:
+        import os
+        prefix = getattr(self.options, "saving_name_prefix", "s_")
+        return os.path.join(self.save_dir, f"{prefix}{self.id}.npz")
+
+    def save_to_disk(self) -> bool:
+        """Serialize the merged cloud (SaveToDisk role, submap.cc:197-215;
+        format role of cloud_types.cc:180-230 — here a compressed npz of
+        the valid points)."""
+        if self.save_dir is None or self._cloud is None:
+            return False
+        import os
+        os.makedirs(self.save_dir, exist_ok=True)
+        m = np.asarray(self._cloud.mask)
+        np.savez(self._disk_path(),
+                 stamp=self.stamp,
+                 xyz=np.asarray(self._cloud.xyz)[m],
+                 intensity=np.asarray(self._cloud.intensity)[m],
+                 factor=np.asarray(self._cloud.factor)[m])
+        self._on_disk = True
+        return True
+
+    def offload(self) -> bool:
+        """Write to disk (if not already) and drop the RAM/device copy
+        (UpdateInactiveTime path, submap.cc:224-236)."""
+        if self._cloud is None:
+            return False
+        if not self._on_disk and not self.save_to_disk():
+            return False
+        self._cloud = None
+        return True
+
+    def _load_from_disk(self) -> None:
+        from ..data import cloud as cloud_lib
+        with np.load(self._disk_path()) as z:
+            xyz, inten, factor = z["xyz"], z["intensity"], z["factor"]
+        pc = cloud_lib.from_numpy(xyz, intensity=inten,
+                                  capacity=self.capacity,
+                                  stamp_factors=False)
+        import jax.numpy as _jnp
+        fac = np.zeros((self.capacity,), dtype=np.float32)
+        fac[:len(factor)] = factor
+        self._cloud = dataclasses.replace(pc, factor=_jnp.asarray(fac))
+
+    def update_inactive_time(self, dt: float) -> Optional[float]:
+        """Age the submap; returns the new age (UpdateInactiveTime,
+        submap.cc:224-236)."""
+        self.inactive_time += dt
+        return self.inactive_time
 
     @property
     def full(self) -> bool:
@@ -87,29 +199,55 @@ class Submap:
 
     def _finalize(self) -> None:
         """Merge frames in local coords (+ optional voxel filter)
-        (submap.cc:98-162)."""
-        merged = None
-        for f in self.frames:
-            local = f.cloud.transform(jnp.asarray(f.local_pose,
-                                                  dtype=jnp.float32))
-            merged = local if merged is None else cloud_concat(
-                merged, local, capacity=self.capacity)
-        if merged.capacity > self.capacity:
-            merged = PointCloud(
-                xyz=merged.xyz[:self.capacity],
-                intensity=merged.intensity[:self.capacity],
-                factor=merged.factor[:self.capacity],
-                mask=merged.mask[:self.capacity])
-        if self.options.enable_voxel_filter:
-            merged = voxel_ops.voxel_downsample(
-                merged, self.options.voxel_size, mode="round")
-        self.cloud = merged
+        (submap.cc:98-162) — one fused jit dispatch."""
+        poses = np.stack([f.local_pose for f in self.frames]
+                         ).astype(np.float32)
+        self.cloud = _merge_frames(
+            tuple(f.cloud for f in self.frames), poses,
+            capacity=self.capacity,
+            voxel_size=np.float32(self.options.voxel_size),
+            voxel_mode="round" if self.options.enable_voxel_filter else None)
 
     def update_inner_frame_poses(self) -> None:
         """Submap::UpdateInnerFramePose parity (submap.cc:268-274): after
         optimization, frame globals follow the submap pose."""
         for f in self.frames:
             f.global_pose = self.global_pose @ f.local_pose
+
+
+class MemoryManager:
+    """Ages submaps and drops inactive clouds to disk
+    (builder/memory_manager.{h,cc}: a 1 Hz background thread in the
+    reference; here ticked from the insertion loop — same policy, no
+    thread).  A submap becomes offloadable once its
+    ``match_transform_to_next`` is set (the reference saves at
+    SetMatchedTransformedToNext, submap.cc:197-215)."""
+
+    def __init__(self, trajectory: "Trajectory", delay_seconds: float = 30.0,
+                 keep_last: int = 2):
+        self.trajectory = trajectory
+        self.delay = delay_seconds
+        self.keep_last = keep_last
+        self._last_tick = None
+
+    def tick(self, now: float) -> int:
+        """Age + offload; returns how many submaps were offloaded."""
+        if self._last_tick is None:
+            self._last_tick = now
+            return 0
+        dt = now - self._last_tick
+        if dt <= 0:
+            return 0
+        self._last_tick = now
+        n_off = 0
+        cutoff = max(0, len(self.trajectory) - self.keep_last)
+        for s in self.trajectory.submaps[:cutoff]:
+            if not s.cloud_in_memory or s.match_transform_to_next is None:
+                continue
+            if s.update_inactive_time(dt) >= self.delay:
+                if s.offload():
+                    n_off += 1
+        return n_off
 
 
 class Trajectory:

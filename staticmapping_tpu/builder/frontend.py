@@ -23,6 +23,7 @@ Semantics parity, step by step against map_builder.cc:
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Callable, List, Optional
 
 import numpy as np
@@ -71,6 +72,35 @@ def _compensate(cloud: PointCloud, delta: jax.Array) -> PointCloud:
     return cloud.motion_compensate(delta)
 
 
+@partial(jax.jit, static_argnames=("leaf_size",))
+def _target_normals(pc: PointCloud, leaf_size: int):
+    """compact + normal estimation fused into ONE dispatch — eager op
+    dispatch costs seconds per op over the remote-TPU tunnel, so every
+    per-scan stage must be a single jitted program."""
+    return estimate_normals(pc.compact(), leaf_size=leaf_size)
+
+
+@partial(jax.jit, static_argnames=("compensation", "use_average",
+                                   "max_iteration", "tile"))
+def _frontend_align(pc: PointCloud, target, guess, accum_inv,
+                    compensation: bool, use_average: bool,
+                    dist_outlier_ratio, max_iteration: int, tile: int):
+    """The whole per-scan device program in ONE dispatch
+    (map_builder.cc:311-354): motion-compensate by accum⁻¹·guess, align,
+    optionally average with the guess, re-compensate the raw cloud by
+    accum⁻¹·result.  Returns (T_align, score, source_out)."""
+    from ..common import se3 as jse3
+    src = pc.motion_compensate(accum_inv @ guess) if compensation else pc
+    T, score = align_point_to_plane(
+        src, target, guess, dist_outlier_ratio=dist_outlier_ratio,
+        max_iteration=max_iteration, tile=tile)
+    if compensation and use_average:
+        T = jse3.average_transforms(jnp.stack([T, guess]))
+    if compensation:
+        src = pc.motion_compensate(accum_inv @ T)
+    return T, score, src
+
+
 class FrontEnd:
     """Feed scans in time order via :meth:`process`; returns a new keyframe
     ``Frame`` when the motion filter fires, else None."""
@@ -94,23 +124,28 @@ class FrontEnd:
         if self.options.matcher_type != 6:
             from ..registration.factory import create_matcher
             self.matcher = create_matcher(self.options.matcher_type)
+        # jit the whole filter chain into one dispatch (eager per-filter
+        # dispatch over the remote-TPU tunnel costs seconds per op)
+        self._chain_jit = (jax.jit(self.filter_chain.__call__)
+                           if self.filter_chain is not None else None)
+        self._compact_jit = jax.jit(PointCloud.compact)
 
     # ------------------------------------------------------------------
     def _prepare(self, points: np.ndarray) -> PointCloud:
         pc = cloud_lib.from_numpy(points,
                                   capacity=self.options.scan_capacity)
-        if self.filter_chain is not None:
-            pc = self.filter_chain(pc)
+        if self._chain_jit is not None:
+            pc = self._chain_jit(pc)
         return pc
 
     def _set_target(self, pc: PointCloud) -> None:
         # "scan match:target" block (map_builder.cc:316)
         with prof.block("scan match:target"):
             if self.matcher is None:
-                self.target = estimate_normals(
-                    pc.compact(), leaf_size=self.options.target_leaf_size)
+                self.target = _target_normals(
+                    pc, leaf_size=self.options.target_leaf_size)
             else:
-                self.target = pc.compact()
+                self.target = self._compact_jit(pc)
                 self.matcher.set_input_target(self.target)
 
     def _align(self, source: PointCloud, guess: jax.Array):
@@ -153,24 +188,41 @@ class FrontEnd:
         guess = np_se3.normalize_rotation(
             np_se3.inverse(self.pose_target) @ pose_source)
 
-        source = pc
-        if opts.motion_compensation:
-            delta = np_se3.inverse(self.accumulative) @ guess
-            source = _compensate(pc, jnp.asarray(delta, dtype=jnp.float32))
-
-        T_align, score = self._align(
-            source, jnp.asarray(guess, dtype=jnp.float32))
-        align_result = np.asarray(T_align, dtype=np.float64)
-        align_result = np_se3.normalize_rotation(align_result)
-        self.last_score = float(score)
-
-        if opts.motion_compensation:
-            if opts.use_average:
-                align_result = np_se3.average_transforms(
-                    [align_result, guess])
-            source = _compensate(
-                pc, jnp.asarray(np_se3.inverse(self.accumulative)
-                                @ align_result, dtype=jnp.float32))
+        if self.matcher is None:
+            # fused per-scan device program: compensate + align + average +
+            # re-compensate in ONE dispatch ("scan match:align",
+            # map_builder.cc:311-354)
+            with prof.block("scan match:align"):
+                T_align, score, source = _frontend_align(
+                    pc, self.target,
+                    jnp.asarray(guess, dtype=jnp.float32),
+                    jnp.asarray(np_se3.inverse(self.accumulative),
+                                dtype=jnp.float32),
+                    compensation=opts.motion_compensation,
+                    use_average=opts.use_average,
+                    dist_outlier_ratio=opts.dist_outlier_ratio,
+                    max_iteration=opts.max_iteration, tile=opts.nn_tile)
+            align_result = np_se3.normalize_rotation(
+                np.asarray(T_align, dtype=np.float64))
+            self.last_score = float(score)
+        else:
+            source = pc
+            if opts.motion_compensation:
+                delta = np_se3.inverse(self.accumulative) @ guess
+                source = _compensate(pc, jnp.asarray(delta,
+                                                     dtype=jnp.float32))
+            T_align, score = self._align(
+                source, jnp.asarray(guess, dtype=jnp.float32))
+            align_result = np_se3.normalize_rotation(
+                np.asarray(T_align, dtype=np.float64))
+            self.last_score = float(score)
+            if opts.motion_compensation:
+                if opts.use_average:
+                    align_result = np_se3.average_transforms(
+                        [align_result, guess])
+                source = _compensate(
+                    pc, jnp.asarray(np_se3.inverse(self.accumulative)
+                                    @ align_result, dtype=jnp.float32))
 
         pose_source = self.pose_target @ align_result
         self.accumulative = align_result

@@ -23,10 +23,42 @@ from ..io import kitti as kitti_io
 from ..io import pcd as pcd_io
 from ..ops.normals import estimate_normals
 from ..registration.icp_fast import align_point_to_plane
-from .frame import Frame, Submap, SubmapOptions, Trajectory
+from .frame import Frame, MemoryManager, Submap, SubmapOptions, Trajectory
 from .frontend import FrontEnd, FrontEndOptions
 from .map_package import MapPackageOptions, save_trajectory
 from .mrvm import MrvmSettings, MultiResolutionVoxelMap
+
+
+from functools import partial
+import jax
+
+
+@partial(jax.jit, static_argnames=("leaf_size", "tile"))
+def _pair_match(source_cloud, target_cloud, guess, leaf_size: int,
+                tile: int):
+    """Submap-pair registration (normal estimation + point-to-plane ICP)
+    fused into ONE device dispatch (SubmapPairMatch, map_builder.cc:399-446;
+    eager dispatch over the remote-TPU tunnel costs seconds per op)."""
+    target_nc = estimate_normals(target_cloud.compact(),
+                                 leaf_size=leaf_size)
+    return align_point_to_plane(source_cloud, target_nc, guess, tile=tile)
+
+
+def _pair_match_batch(sources, targets, guesses, leaf_size: int, tile: int):
+    """B submap-pair registrations with ONE host sync: dispatch the jitted
+    per-pair program for every pair back-to-back (async — XLA queues them
+    on device) and only then read the results.  This is the reference's
+    thread-pool SubmapPairMatch queue (map_builder.cc:705-709) re-expressed
+    as device-queue parallelism (SURVEY §2.9 P2).  (A vmapped Pallas NN
+    kernel would multiply its VMEM scratch by B and OOM; a ``lax.map``
+    version compiles for minutes — async queuing gets the same latency
+    amortization with zero extra compiles.)"""
+    outs = [_pair_match(s, t, jnp.asarray(g, dtype=jnp.float32),
+                        leaf_size=leaf_size, tile=tile)
+            for s, t, g in zip(sources, targets, guesses)]
+    Ts = jnp.stack([o[0] for o in outs])
+    scores = jnp.stack([o[1] for o in outs])
+    return Ts, scores
 
 
 @dataclasses.dataclass
@@ -55,6 +87,13 @@ class MapBuilderOptions:
     submap_matcher_accepted_min_score: float = 0.7
     submap_matcher_leaf_size: int = 8
     enable_submap_pair_match: bool = True
+    # P1 pipeline layer (builder/pipeline.py): device-resident front end,
+    # one dispatch per `pipeline_chunk` scans instead of per scan
+    pipelined: bool = False
+    pipeline_chunk: int = 16
+    # P2 batching: defer submap-pair matches and run them `pair_match_batch`
+    # at a time in one vmapped dispatch (1 = match synchronously per submap)
+    pair_match_batch: int = 1
 
 
 class MapBuilder:
@@ -68,14 +107,30 @@ class MapBuilder:
         if self.options.use_imu:
             from .pose_extrapolator import PoseExtrapolator
             extrapolator = PoseExtrapolator(mode=PoseExtrapolator.MODE_IMU)
-        self.front_end = FrontEnd(self.options.front_end,
-                                  filter_chain=filter_chain,
-                                  extrapolator=extrapolator)
+        if self.options.pipelined and not self.options.use_imu:
+            from .pipeline import DeviceFrontEnd
+            self.front_end = DeviceFrontEnd(
+                self.options.front_end, filter_chain=filter_chain,
+                chunk_size=self.options.pipeline_chunk)
+        else:
+            self.front_end = FrontEnd(self.options.front_end,
+                                      filter_chain=filter_chain,
+                                      extrapolator=extrapolator)
         self.data_collector = DataCollector(self.options.data_collector)
         self.trajectory = Trajectory(0)
         self.backend = backend        # attached pose-graph optimizer or None
         self._current_submap: Optional[Submap] = None
         self._next_submap_id = 0
+        self._pending_submaps: List[Submap] = []   # deferred P2 queue
+        # memory bounding (memory_manager.cc:51-62)
+        self._submap_dir = None
+        self.memory_manager: Optional[MemoryManager] = None
+        if self.options.submap.enable_disk_saving:
+            self._submap_dir = os.path.join(
+                self.options.export_file_path, "submaps")
+            self.memory_manager = MemoryManager(
+                self.trajectory,
+                delay_seconds=float(self.options.submap.disk_saving_delay))
         # static extrinsics (SetTrackingTo*, map_builder.h:124-137)
         self.tracking_to_lidar = np.eye(4)
         self.tracking_to_imu = np.eye(4)
@@ -121,7 +176,10 @@ class MapBuilder:
             return
         stamp, points = out
         frame = self.front_end.process(stamp, points)
-        if frame is not None:
+        if isinstance(frame, list):           # pipelined: keyframe burst
+            for f in frame:
+                self._insert_frame(f)
+        elif frame is not None:
             self._insert_frame(frame)
 
     def insert_imu(self, stamp: float, angular_velocity, linear_acceleration):
@@ -155,9 +213,13 @@ class MapBuilder:
         if self._current_submap is None or self._current_submap.full:
             self._current_submap = Submap(
                 self._next_submap_id, self.options.submap,
-                capacity=self.options.submap_capacity)
+                capacity=self.options.submap_capacity,
+                save_dir=self._submap_dir)
             self._next_submap_id += 1
             self.trajectory.append(self._current_submap)
+        if self.memory_manager is not None:
+            import time as _time
+            self.memory_manager.tick(_time.monotonic())
         self._current_submap.insert_frame(frame)
         if self._current_submap.full:
             # sensor tags at the submap stamp (map_builder.cc:690-701)
@@ -169,12 +231,60 @@ class MapBuilder:
                 self._current_submap.related_odom = \
                     self.data_collector.interpolate_odom(
                         self._current_submap.stamp, 0.001, trim_data=True)
-            if (self.options.enable_submap_pair_match
-                    and self._current_submap.id > 0):
-                self._submap_pair_match(self._current_submap.id,
-                                        self._current_submap.id - 1)
-            if self.backend is not None:
-                self.backend.add_submap(self.trajectory, self._current_submap)
+            if self.options.pair_match_batch > 1:
+                # deferred P2 path: queue; flush in one vmapped dispatch
+                self._pending_submaps.append(self._current_submap)
+                if len(self._pending_submaps) >= self.options.pair_match_batch:
+                    self._flush_pair_matches()
+            else:
+                if (self.options.enable_submap_pair_match
+                        and self._current_submap.id > 0):
+                    self._submap_pair_match(self._current_submap.id,
+                                            self._current_submap.id - 1)
+                if self.backend is not None:
+                    self.backend.add_submap(self.trajectory,
+                                            self._current_submap)
+
+    def _flush_pair_matches(self) -> None:
+        """Resolve the deferred pair-match queue with ONE vmapped dispatch
+        (P2 batching; SubmapPairMatch semantics map_builder.cc:399-446),
+        then feed the queued submaps to the back end in order."""
+        from ..common import prof
+        queued = self._pending_submaps
+        self._pending_submaps = []
+        if not queued:
+            return
+        pairs = [s for s in queued
+                 if self.options.enable_submap_pair_match and s.id > 0]
+        if pairs:
+            with prof.block("SubmapPairMatchBatch"):
+                sources = tuple(s.cloud for s in pairs)
+                targets = tuple(self.trajectory[s.id - 1].cloud
+                                for s in pairs)
+                guesses = np.stack([
+                    np_se3.inverse(
+                        self.trajectory[s.id - 1].frames[0].global_pose)
+                    @ s.frames[0].global_pose for s in pairs
+                ]).astype(np.float32)
+                Ts, scores = _pair_match_batch(
+                    sources, targets, guesses,
+                    leaf_size=self.options.submap_matcher_leaf_size,
+                    tile=self.options.front_end.nn_tile)
+                Ts = np.asarray(Ts, dtype=np.float64)
+                scores = np.asarray(scores, dtype=np.float64)
+            for k, s in enumerate(pairs):
+                target = self.trajectory[s.id - 1]
+                s.match_score_to_previous = float(scores[k])
+                if scores[k] >= self.options.submap_matcher_accepted_min_score:
+                    target.match_transform_to_next = \
+                        np_se3.normalize_rotation(Ts[k])
+                else:
+                    # keep the odometry transform (map_builder.cc:439-444)
+                    target.match_transform_to_next = np.asarray(
+                        guesses[k], dtype=np.float64)
+        if self.backend is not None:
+            for s in queued:
+                self.backend.add_submap(self.trajectory, s)
 
     def _submap_pair_match(self, source_index: int, target_index: int) -> None:
         """SubmapPairMatch parity (map_builder.cc:399-446): register submap
@@ -190,11 +300,10 @@ class MapBuilder:
         target = self.trajectory[target_index]
         guess = np_se3.inverse(target.frames[0].global_pose) @ \
             source.frames[0].global_pose
-        target_nc = estimate_normals(
-            target.cloud.compact(),
-            leaf_size=self.options.submap_matcher_leaf_size)
-        T, score = align_point_to_plane(
-            source.cloud, target_nc, jnp.asarray(guess, dtype=jnp.float32),
+        T, score = _pair_match(
+            source.cloud, target.cloud,
+            jnp.asarray(guess, dtype=jnp.float32),
+            leaf_size=self.options.submap_matcher_leaf_size,
             tile=self.options.front_end.nn_tile)
         score = float(score)
         source.match_score_to_previous = score
@@ -209,6 +318,10 @@ class MapBuilder:
     def finish(self) -> None:
         """FinishAllComputations-equivalent (map_builder.cc:715-746):
         flush, run final optimization, write outputs (SaveMaps cc:825-911)."""
+        if hasattr(self.front_end, "flush"):
+            for f in self.front_end.flush():
+                self._insert_frame(f)
+        self._flush_pair_matches()
         if self.backend is not None:
             self.backend.run_final_optimization(self.trajectory)
             for s in self.trajectory:
@@ -230,6 +343,18 @@ class MapBuilder:
             save_trajectory(self.trajectory,
                             os.path.join(out_dir, "map_package"),
                             self.options.map_package)
+            # bounded-size map pieces (SaveTrajectoriesAsMapPackage,
+            # map_package.cc:51-230)
+            from .map_package import save_map_pieces
+            save_map_pieces(self.trajectory,
+                            os.path.join(out_dir, "map_package", "pieces"),
+                            self.options.map_package,
+                            self.options.mrvm_settings)
+
+        if (self.backend is not None
+                and getattr(self.backend.options, "output_graph_pic", False)
+                and hasattr(self.backend, "save_view_graph")):
+            self.backend.save_view_graph(out_dir)
 
     def _calculate_coord_transform_to_gps(self) -> None:
         """CalculateCoordTransformToGps parity (map_builder.cc:748-762):

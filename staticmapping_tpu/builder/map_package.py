@@ -123,3 +123,80 @@ def load_trajectory(package_dir: str, options: MapPackageOptions = None,
                 s.frames.append(f)
         trajectory.append(s)
     return trajectory
+
+
+def save_map_pieces(trajectories, out_dir: str,
+                    options: MapPackageOptions = None,
+                    mrvm_settings=None) -> Optional[str]:
+    """SaveTrajectoriesAsMapPackage parity (map_package.cc:51-230): tile
+    the map into ``piece_width``-sized pieces on a half-width grid, build a
+    per-piece MRVM static map from the submaps whose centers fall inside
+    the border-offset bbox, cut each piece's cloud to its bbox, store it
+    center-relative, and write the XML descriptor with piece centers.
+
+    Returns the descriptor path (None when there is nothing to save).
+    """
+    from ..io import pcd as pcd_io
+    from .mrvm import MrvmSettings, MultiResolutionVoxelMap
+
+    options = options or MapPackageOptions()
+    mrvm_settings = mrvm_settings or MrvmSettings()
+    if not isinstance(trajectories, (list, tuple)):
+        trajectories = [trajectories]
+    centers = [s.global_pose[:3, 3] for t in trajectories for s in t]
+    if not centers:
+        return None
+    centers = np.stack(centers)
+    min_xy = centers[:, :2].min(axis=0) - options.border_offset
+    max_xy = centers[:, :2].max(axis=0) + options.border_offset
+    half = options.piece_width * 0.5
+    x_steps = max(int((max_xy[0] - min_xy[0]) / half), 1)
+    y_steps = max(int((max_xy[1] - min_xy[1]) / half), 1)
+
+    os.makedirs(out_dir, exist_ok=True)
+    root = ET.Element("MapPackage")
+    for x in range(x_steps):
+        for y in range(y_steps):
+            center = np.array([min_xy[0] + (x + 1) * half,
+                               min_xy[1] + (y + 1) * half])
+            bb_min = np.clip(center - half, min_xy, max_xy)
+            bb_max = np.clip(center + half, min_xy, max_xy)
+            off_min = bb_min - options.border_offset
+            off_max = bb_max + options.border_offset
+            vm = MultiResolutionVoxelMap(mrvm_settings)
+            n_inside = 0
+            for t in trajectories:
+                for s in t:
+                    p = s.global_pose[:3, 3]
+                    if not (off_min[0] <= p[0] <= off_max[0]
+                            and off_min[1] <= p[1] <= off_max[1]):
+                        continue
+                    if s.cloud is None:
+                        continue
+                    gc = s.cloud.transform(jnp.asarray(s.global_pose,
+                                                       dtype=jnp.float32))
+                    vm.insert_point_cloud(gc, p)
+                    n_inside += 1
+            if n_inside == 0:
+                continue
+            pts = vm.output_to_numpy()
+            if not len(pts):
+                continue
+            inside = ((pts[:, 0] >= bb_min[0]) & (pts[:, 0] <= bb_max[0])
+                      & (pts[:, 1] >= bb_min[1]) & (pts[:, 1] <= bb_max[1]))
+            pts = pts[inside]
+            if not len(pts):
+                continue
+            pts[:, 0] -= center[0]
+            pts[:, 1] -= center[1]
+            fname = f"{options.cloud_file_prefix}{x}_{y}.pcd"
+            pcd_io.write_pcd(os.path.join(out_dir, fname), pts)
+            piece = ET.SubElement(root, "Piece")
+            piece.set("x", f"{center[0]:.6f}")
+            piece.set("y", f"{center[1]:.6f}")
+            piece.set("file", fname)
+    tree = ET.ElementTree(root)
+    ET.indent(tree)
+    path = os.path.join(out_dir, options.descript_filename)
+    tree.write(path)
+    return path

@@ -124,11 +124,12 @@ def _scan_events(xyz: jax.Array, mask: jax.Array, intensity: jax.Array,
         jnp.stack([sx, sy, sz], 1) * hit_f[:, None], seg, num_segments=m)
     max_int = jax.ops.segment_max(
         jnp.where(sh, si, -1.0), seg, num_segments=m)
+    sum_int = jax.ops.segment_sum(si * hit_f, seg, num_segments=m)
     keys_out = jax.ops.segment_max(
         jnp.where(sv[:, None], jnp.stack([skx, sky, skz], 1),
                   jnp.int32(-2**31 + 1)), seg, num_segments=m)
     valid_out = (hit_cnt + miss_cnt) > 0
-    return keys_out, hit_cnt, miss_cnt, sum_xyz, max_int, valid_out
+    return keys_out, hit_cnt, miss_cnt, sum_xyz, max_int, sum_int, valid_out
 
 
 class MultiResolutionVoxelMap:
@@ -144,6 +145,7 @@ class MultiResolutionVoxelMap:
         self._misses: Optional[np.ndarray] = None
         self._sum_xyz: Optional[np.ndarray] = None
         self._max_int: Optional[np.ndarray] = None
+        self._sum_int: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------------
     def insert_point_cloud(self, cloud: PointCloud, origin: np.ndarray
@@ -153,25 +155,28 @@ class MultiResolutionVoxelMap:
         s = self.settings
         origin = np.asarray(origin, dtype=np.float32).copy()
         origin[2] += s.z_offset
-        keys, hit, miss, sxyz, mint, valid = _scan_events(
+        keys, hit, miss, sxyz, mint, sint, valid = _scan_events(
             cloud.xyz, cloud.mask, cloud.intensity,
             jnp.asarray(origin), s.high_resolution,
             s.max_ray_steps)
         v = np.asarray(valid)
         self._merge(np.asarray(keys)[v].astype(np.int64),
                     np.asarray(hit)[v], np.asarray(miss)[v],
-                    np.asarray(sxyz)[v], np.asarray(mint)[v])
+                    np.asarray(sxyz)[v], np.asarray(mint)[v],
+                    np.asarray(sint)[v])
 
-    def _merge(self, keys, hits, misses, sum_xyz, max_int):
+    def _merge(self, keys, hits, misses, sum_xyz, max_int, sum_int):
         if self._keys is None:
             self._keys, self._hits, self._misses = keys, hits, misses
             self._sum_xyz, self._max_int = sum_xyz, max_int
+            self._sum_int = sum_int
             return
         all_keys = np.concatenate([self._keys, keys])
         all_hits = np.concatenate([self._hits, hits])
         all_misses = np.concatenate([self._misses, misses])
         all_sxyz = np.concatenate([self._sum_xyz, sum_xyz])
         all_mint = np.concatenate([self._max_int, max_int])
+        all_sint = np.concatenate([self._sum_int, sum_int])
         uniq, inv = np.unique(all_keys, axis=0, return_inverse=True)
         nv = uniq.shape[0]
         self._keys = uniq
@@ -183,6 +188,7 @@ class MultiResolutionVoxelMap:
         mi = np.full(nv, -1.0)
         np.maximum.at(mi, inv, all_mint)
         self._max_int = mi
+        self._sum_int = np.bincount(inv, weights=all_sint, minlength=nv)
 
     # ------------------------------------------------------------------
     def probabilities(self) -> np.ndarray:
@@ -208,8 +214,13 @@ class MultiResolutionVoxelMap:
             pts = self._sum_xyz[keep] / np.maximum(self._hits[keep], 1)[:, None]
         else:
             pts = centers
-        inten = self._max_int[keep] if s.use_max_intensity else \
-            self._max_int[keep]
+        # use_max_intensity selects max vs per-voxel average intensity
+        # (multi_resolution_voxel_map.cc intensity policy)
+        if s.use_max_intensity:
+            inten = self._max_int[keep]
+        else:
+            inten = (self._sum_int[keep]
+                     / np.maximum(self._hits[keep], 1))
         return np.column_stack([pts, inten]).astype(np.float32)
 
     @property

@@ -260,6 +260,8 @@ def load_config(source: Optional[str] = None) -> PipelineConfig:
         opt.use_gps = _attr(io, "use_gps", bool, opt.use_gps)
         opt.enable_extrinsic_calib = _attr(io, "enable_extrinsic_calib",
                                            bool, opt.enable_extrinsic_calib)
+        opt.output_graph_pic = _attr(io, "output_graph_pic", bool,
+                                     opt.output_graph_pic)
         opt.gps_factor_init_num = _attr(io, "gps_factor_init_num", int,
                                         opt.gps_factor_init_num)
         opt.gps_factor_sample_step = _attr(io, "gps_factor_sample_step", int,

@@ -65,3 +65,50 @@ def test_masked_quantile():
     # q=1.0 clamps to the max valid
     q = nn_search.masked_quantile(vals, mask, 1.0)
     assert float(q) == 5.0
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel correctness (runs only when a real TPU is attached — the
+# benched fast path must match the portable scan path exactly) and CPU
+# contract tests for the chunk/padding helpers.
+# ---------------------------------------------------------------------------
+
+def test_pick_chunk_contract():
+    from staticmapping_tpu.ops.nn_search import _pick_chunk
+    for size in (128, 256, 384, 512, 1024, 4096, 8192, 32768):
+        for pref in (128, 512, 4096):
+            c = _pick_chunk(size, pref)
+            assert size % c == 0, (size, pref, c)
+            assert c <= size
+
+
+def test_pallas_matches_scan_on_tpu():
+    import jax
+    from staticmapping_tpu.ops import nn_search
+
+    # build a second, TPU-backed context only if the platform exists
+    try:
+        tpu_devices = jax.devices("tpu")
+    except RuntimeError:
+        tpu_devices = []
+    if not tpu_devices:
+        pytest.skip("no TPU attached — pallas path not reachable")
+
+    rng = np.random.default_rng(0)
+    q = rng.uniform(-20, 20, (512, 3)).astype(np.float32)
+    t = rng.uniform(-20, 20, (4096, 3)).astype(np.float32)
+    mask = np.ones(4096, dtype=bool)
+    mask[4000:] = False
+
+    d_tpu, i_tpu = jax.device_put(
+        nn_search.nearest_1(
+            jax.device_put(jnp.asarray(q), tpu_devices[0]),
+            jax.device_put(jnp.asarray(t), tpu_devices[0]),
+            jax.device_put(jnp.asarray(mask), tpu_devices[0])))
+    d_ref, i_ref = nn_search._nearest_scan(
+        jnp.asarray(q),
+        jnp.where(jnp.asarray(mask)[:, None], jnp.asarray(t), 1.0e5),
+        jnp.asarray(mask), tile=512)
+    assert np.allclose(np.asarray(d_tpu), np.asarray(d_ref), atol=1e-2)
+    agree = np.mean(np.asarray(i_tpu) == np.asarray(i_ref))
+    assert agree > 0.999, agree   # ties may break differently

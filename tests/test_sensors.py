@@ -210,23 +210,44 @@ def test_odom_extrinsic_calibration():
                                     0.3 * np.cos(2.3 * k), 0.0]),
             [0.0, 0.0, 0.5 * np.sin(0.9 * k)])
         poses.append(np_se3.normalize_rotation(T @ wobble))
-    calib_true = np_se3.from_rt(np_se3.euler_to_matrix([0, 0, 0.15]),
+    calib_true = np_se3.from_rt(np_se3.euler_to_matrix([0.05, 0.03, 0.15]),
                                 [0.5, 0.2, 0.0])
-    g = PoseGraph()
-    for k in range(n):
-        g.add_node()
-    for k in range(1, n):
-        g.add_between(k - 1, k,
-                      np_se3.inverse(poses[k - 1]) @ poses[k],
-                      (0.01,) * 3 + (0.005,) * 3)
-    inv_c = np_se3.inverse(calib_true)
-    for k in range(n):
-        odom = inv_c @ poses[k] @ calib_true
-        g.add_odom(k, odom, (1.5, 1.5, 2.0, 0.2, 0.2, 0.2))
-    g.add_special_prior(SPECIAL_ODOM_CALIB, np.eye(4),
-                        (0.1, 0.1, 0.1, 0.5, 0.5, 1.5))
-    out = g.optimize(np.stack(poses), num_iters=12)
-    calib_est = g.get_special_value(SPECIAL_ODOM_CALIB)
-    err = np_se3.inverse(calib_est) @ calib_true
-    assert np.linalg.norm(err[:3, 3]) < 0.05
-    assert np_se3.rotation_angles_abs_sum_deg(err) < 1.0
+
+    def build(odom_sigmas, prior_sigmas):
+        g = PoseGraph()
+        for k in range(n):
+            g.add_node()
+        for k in range(1, n):
+            g.add_between(k - 1, k,
+                          np_se3.inverse(poses[k - 1]) @ poses[k],
+                          (0.01,) * 3 + (0.005,) * 3)
+        inv_c = np_se3.inverse(calib_true)
+        for k in range(n):
+            odom = inv_c @ poses[k] @ calib_true
+            g.add_odom(k, odom, odom_sigmas)
+        g.add_special_prior(SPECIAL_ODOM_CALIB, np.eye(4), prior_sigmas)
+        return g
+
+    # (a) precise odometry + loose prior: the full extrinsic (0.5 m +
+    # 10° compound rotation) is observable and must be recovered
+    g = build((0.1, 0.1, 0.1, 0.05, 0.05, 0.05),
+              (2.0, 2.0, 2.0, 0.5, 0.5, 1.5))
+    g.optimize(np.stack(poses), num_iters=20)
+    err = np_se3.inverse(
+        g.get_special_value(SPECIAL_ODOM_CALIB)) @ calib_true
+    assert np.linalg.norm(err[:3, 3]) < 0.02, err[:3, 3]
+    assert np_se3.rotation_angles_abs_sum_deg(err) < 0.5
+
+    # (b) the reference's own noise models (odom_noise Huber(1) rot 0.2 /
+    # trans 1.5-2, calib prior trans 0.1 / rot 0.5-1.5,
+    # isam_optimizer.cc:85-94): translation is prior-dominated by design
+    # (information ratio ~10:100), so only the ROTATION part of the
+    # extrinsic is really calibrated — assert exactly that MAP behavior.
+    g = build((1.5, 1.5, 2.0, 0.2, 0.2, 0.2),
+              (0.1, 0.1, 0.1, 0.5, 0.5, 1.5))
+    g.optimize(np.stack(poses), num_iters=12)
+    est = g.get_special_value(SPECIAL_ODOM_CALIB)
+    err = np_se3.inverse(est) @ calib_true
+    assert np_se3.rotation_angles_abs_sum_deg(err) < 3.0   # 10° → <3°
+    # translation stays near the prior (not dragged to spurious values)
+    assert np.linalg.norm(est[:3, 3]) < 0.15
