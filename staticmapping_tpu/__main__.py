@@ -40,6 +40,11 @@ def make_parser() -> argparse.ArgumentParser:
                    "(overrides whole_options.export_file_path)")
     p.add_argument("--no-backend", action="store_true",
                    help="front-end odometry only (no loop closing/opt)")
+    p.add_argument("--pipelined", action="store_true",
+                   help="chunked device-resident front end (P1 pipeline "
+                        "layer; one dispatch per chunk of scans)")
+    p.add_argument("--chunk", type=int, default=16,
+                   help="pipeline chunk size (scans per dispatch)")
     p.add_argument("--rate", type=float, default=10.0,
                    help="nominal sensor rate in Hz for synthetic stamps")
     p.add_argument("--profile", action="store_true",
@@ -60,6 +65,10 @@ def main(argv=None) -> int:
     cfg = config_lib.load_config(args.cfg)
     if args.out:
         cfg.map_builder.export_file_path = args.out
+    if args.pipelined:
+        cfg.map_builder.pipelined = True
+        cfg.map_builder.pipeline_chunk = args.chunk
+        cfg.map_builder.pair_match_batch = 8
     if args.profile:
         prof.enable()
 

@@ -140,12 +140,11 @@ class MultiResolutionVoxelMap:
         s = self.settings
         s.hit_prob = min(max(s.hit_prob, 0.501), MAX_PROB)
         s.miss_prob = min(max(s.miss_prob, MIN_PROB), 0.499)
-        self._keys: Optional[np.ndarray] = None      # [V, 3] i64 (sorted)
-        self._hits: Optional[np.ndarray] = None
-        self._misses: Optional[np.ndarray] = None
-        self._sum_xyz: Optional[np.ndarray] = None
-        self._max_int: Optional[np.ndarray] = None
-        self._sum_int: Optional[np.ndarray] = None
+        # host-side sparse accumulator: native C++ hash map when the
+        # toolchain is available (builder/mrvm_store.py), numpy fallback
+        from .mrvm_store import make_store
+        self._store = make_store()
+        self._snapshot = None     # cached export, invalidated by inserts
 
     # ------------------------------------------------------------------
     def insert_point_cloud(self, cloud: PointCloud, origin: np.ndarray
@@ -160,41 +159,22 @@ class MultiResolutionVoxelMap:
             jnp.asarray(origin), s.high_resolution,
             s.max_ray_steps)
         v = np.asarray(valid)
-        self._merge(np.asarray(keys)[v].astype(np.int64),
-                    np.asarray(hit)[v], np.asarray(miss)[v],
-                    np.asarray(sxyz)[v], np.asarray(mint)[v],
-                    np.asarray(sint)[v])
-
-    def _merge(self, keys, hits, misses, sum_xyz, max_int, sum_int):
-        if self._keys is None:
-            self._keys, self._hits, self._misses = keys, hits, misses
-            self._sum_xyz, self._max_int = sum_xyz, max_int
-            self._sum_int = sum_int
-            return
-        all_keys = np.concatenate([self._keys, keys])
-        all_hits = np.concatenate([self._hits, hits])
-        all_misses = np.concatenate([self._misses, misses])
-        all_sxyz = np.concatenate([self._sum_xyz, sum_xyz])
-        all_mint = np.concatenate([self._max_int, max_int])
-        all_sint = np.concatenate([self._sum_int, sum_int])
-        uniq, inv = np.unique(all_keys, axis=0, return_inverse=True)
-        nv = uniq.shape[0]
-        self._keys = uniq
-        self._hits = np.bincount(inv, weights=all_hits, minlength=nv)
-        self._misses = np.bincount(inv, weights=all_misses, minlength=nv)
-        self._sum_xyz = np.column_stack([
-            np.bincount(inv, weights=all_sxyz[:, k], minlength=nv)
-            for k in range(3)])
-        mi = np.full(nv, -1.0)
-        np.maximum.at(mi, inv, all_mint)
-        self._max_int = mi
-        self._sum_int = np.bincount(inv, weights=all_sint, minlength=nv)
+        self._store.merge(np.asarray(keys)[v], np.asarray(hit)[v],
+                          np.asarray(miss)[v], np.asarray(sxyz)[v],
+                          np.asarray(mint)[v], np.asarray(sint)[v])
+        self._snapshot = None
 
     # ------------------------------------------------------------------
+    def _export(self):
+        if self._snapshot is None:
+            self._snapshot = self._store.export()
+        return self._snapshot
+
     def probabilities(self) -> np.ndarray:
         s = self.settings
-        lo = (self._hits * prob_to_log_odds(s.hit_prob)
-              + self._misses * prob_to_log_odds(s.miss_prob))
+        _, hits, misses, _, _, _ = self._export()
+        lo = (hits * prob_to_log_odds(s.hit_prob)
+              + misses * prob_to_log_odds(s.miss_prob))
         p = log_odds_to_prob(lo)
         return np.clip(p, MIN_PROB, MAX_PROB)
 
@@ -202,27 +182,27 @@ class MultiResolutionVoxelMap:
                         ) -> np.ndarray:
         """OutputToPointCloud parity (cc:125-242): emit voxels with
         occupancy > threshold as (x, y, z, intensity)."""
-        if self._keys is None:
+        keys, hits, misses, sum_xyz, max_int, sum_int = self._export()
+        if not len(hits):
             return np.zeros((0, 4), dtype=np.float32)
         s = self.settings
         threshold = s.prob_threshold if threshold is None else threshold
         p = self.probabilities()
-        keep = (p > threshold) & (self._hits > 0)
-        centers = (self._keys[keep].astype(np.float64) + 0.5) \
+        keep = (p > threshold) & (hits > 0)
+        centers = (keys[keep].astype(np.float64) + 0.5) \
             * s.high_resolution
         if s.output_average:
-            pts = self._sum_xyz[keep] / np.maximum(self._hits[keep], 1)[:, None]
+            pts = sum_xyz[keep] / np.maximum(hits[keep], 1)[:, None]
         else:
             pts = centers
         # use_max_intensity selects max vs per-voxel average intensity
         # (multi_resolution_voxel_map.cc intensity policy)
         if s.use_max_intensity:
-            inten = self._max_int[keep]
+            inten = max_int[keep]
         else:
-            inten = (self._sum_int[keep]
-                     / np.maximum(self._hits[keep], 1))
+            inten = sum_int[keep] / np.maximum(hits[keep], 1)
         return np.column_stack([pts, inten]).astype(np.float32)
 
     @property
     def num_voxels(self) -> int:
-        return 0 if self._keys is None else self._keys.shape[0]
+        return self._store.size
