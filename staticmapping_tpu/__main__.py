@@ -47,9 +47,17 @@ def make_parser() -> argparse.ArgumentParser:
                    help="pipeline chunk size (scans per dispatch)")
     p.add_argument("--rate", type=float, default=10.0,
                    help="nominal sensor rate in Hz for synthetic stamps")
+    p.add_argument("--urdf", default=None,
+                   help="URDF file for static sensor extrinsics "
+                        "(-urdf role, static_mapping_node.cpp:319-356)")
+    p.add_argument("--track", default="base_link",
+                   help="tracking frame link name in the URDF")
     p.add_argument("--profile", action="store_true",
                    help="print the named-block timing table at exit "
                         "(simple_prof.cc:61-122 role)")
+    p.add_argument("--log-resources", action="store_true",
+                   help="sample CPU%%/memory to ~/.staticmapping_tpu_log "
+                        "(ProcessProfiler role, process_info.h:46-66)")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -71,8 +79,15 @@ def main(argv=None) -> int:
         cfg.map_builder.pair_match_batch = 8
     if args.profile:
         prof.enable()
+    profiler = None
+    if args.log_resources:
+        from .common.process_info import ProcessProfiler
+        profiler = ProcessProfiler().start()
 
     mb = config_lib.build_map_builder(cfg, with_backend=not args.no_backend)
+    if args.urdf:
+        from .io.urdf import apply_urdf_extrinsics
+        apply_urdf_extrinsics(mb, args.urdf, tracking_frame=args.track)
 
     # ---- input source ----
     if args.kitti:
@@ -121,6 +136,8 @@ def main(argv=None) -> int:
               f"outputs in {cfg.map_builder.export_file_path}")
     if args.profile:
         prof.report()
+    if profiler is not None:
+        profiler.stop()
     return 0
 
 

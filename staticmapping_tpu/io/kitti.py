@@ -76,3 +76,24 @@ def ate_rmse(est: np.ndarray, gt: np.ndarray, align: bool = True) -> float:
         t = mq - R @ mp
         p = R @ p + t
     return float(np.sqrt(np.mean(np.sum((p - q) ** 2, axis=0))))
+
+
+def rpe(est: np.ndarray, gt: np.ndarray, delta: int = 1):
+    """Relative pose error over a fixed frame delta — evo's RPE.
+
+    Returns (trans_rmse [m], rot_rmse [rad]) over all index pairs
+    (i, i+delta)."""
+    from ..common import np_se3
+    n = min(len(est), len(gt))
+    terr, rerr = [], []
+    for i in range(n - delta):
+        rel_est = np_se3.inverse(est[i]) @ est[i + delta]
+        rel_gt = np_se3.inverse(gt[i]) @ gt[i + delta]
+        e = np_se3.inverse(rel_gt) @ rel_est
+        terr.append(np.linalg.norm(e[:3, 3]))
+        c = np.clip((np.trace(e[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)
+        rerr.append(np.arccos(c))
+    if not terr:
+        return 0.0, 0.0
+    return (float(np.sqrt(np.mean(np.square(terr)))),
+            float(np.sqrt(np.mean(np.square(rerr)))))
