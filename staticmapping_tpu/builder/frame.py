@@ -198,8 +198,33 @@ class Submap:
             self._finalize()
 
     def _finalize(self) -> None:
-        """Merge frames in local coords (+ optional voxel filter)
-        (submap.cc:98-162) — one fused jit dispatch."""
+        """Merge frames in local coords (+ optional inner MRVM and voxel
+        filter) (submap.cc:98-162) — one fused jit dispatch for the merge."""
+        if self.options.enable_inner_mrvm:
+            # dynamic-object removal inside the submap: ray-cast every
+            # frame from its own viewpoint, keep occupied voxels.
+            # (The reference builds this map but never outputs it —
+            # submap.cc:100-113 ends at "TODO(edward) Output to the
+            # cloud"; this is the evident intent, completed.)
+            import jax.numpy as _jnp
+            from ..data import cloud as cloud_lib
+            from .mrvm import MrvmSettings, MultiResolutionVoxelMap
+            vm = MultiResolutionVoxelMap(MrvmSettings(
+                output_average=True, prob_threshold=0.5))
+            for f in self.frames:
+                local = f.cloud.transform(_jnp.asarray(f.local_pose,
+                                                       dtype=_jnp.float32))
+                vm.insert_point_cloud(local, f.local_pose[:3, 3])
+            pts = vm.output_to_numpy()
+            merged = cloud_lib.from_numpy(
+                pts[:self.capacity, :3],
+                pts[:self.capacity, 3] if pts.shape[1] > 3 else None,
+                capacity=self.capacity, stamp_factors=False)
+            if self.options.enable_voxel_filter:
+                merged = voxel_ops.voxel_downsample(
+                    merged, self.options.voxel_size, mode="round")
+            self.cloud = merged
+            return
         poses = np.stack([f.local_pose for f in self.frames]
                          ).astype(np.float32)
         self.cloud = _merge_frames(

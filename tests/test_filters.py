@@ -202,3 +202,29 @@ def test_range_image_depth_cluster_separates_objects():
     l2 = labels[600:1200][labels[600:1200] > 0]
     assert len(l1) and len(l2)
     assert set(np.unique(l1)).isdisjoint(set(np.unique(l2)))
+
+
+def test_plane_detector_and_sampler():
+    from staticmapping_tpu.filters import (PlaneDetector,
+                                           RandomSampleWithPlaneDetectFilter)
+    rng = np.random.default_rng(0)
+    n_g, n_s = 8000, 1500
+    g = np.column_stack([rng.uniform(-10, 10, n_g), rng.uniform(-10, 10, n_g),
+                         rng.normal(-1.7, 0.02, n_g)])
+    s = rng.uniform(-10, 10, (n_s, 3))
+    s[:, 2] = rng.uniform(0.5, 5.0, n_s)
+    pts = np.vstack([g, s]).astype(np.float32)
+    pc = cloud_lib.from_numpy(pts, capacity=16384)
+    det = PlaneDetector(leaf_size=1.6, min_point_num_in_voxel=8)
+    m = np.asarray(det.plane_mask(pc))
+    assert m[:n_g].sum() > 0.95 * n_g           # flat ground is plane
+    assert m[n_g:n_g + n_s].sum() < 0.02 * n_s  # scatter is not
+
+    f = RandomSampleWithPlaneDetectFilter(
+        sampling_rate=0.2, leaf_size=1.6, min_point_num_in_voxel=8)
+    out = f(pc)
+    keep = np.asarray(out.mask)
+    # plane points all kept; scatter sampled near the rate
+    assert keep[:n_g][m[:n_g]].all()
+    scatter_rate = keep[n_g:n_g + n_s].mean()
+    assert 0.1 < scatter_rate < 0.35, scatter_rate
