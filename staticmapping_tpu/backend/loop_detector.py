@@ -207,7 +207,10 @@ class LoopDetector:
         re-register each source submap onto its target submap with the init
         guess from current globals (z zeroed — the reference's trick,
         cc:290-291). The reference runs candidates on a tbb::task_group
-        (cc:224-228); here they are ONE batched ``align_pair_list`` call —
+        (cc:224-228) and hard-codes IcpUsingPointMatcher as the verifier
+        (cc:304); here the verifier is the same trimmed point-to-plane
+        math (the PM default pipeline's minimizer — see
+        registration/icp_pm.py) batched as ONE ``align_pair_list`` call —
         vmapped on a single device, sharded over ``self.mesh`` when set."""
         s = self.settings
         sources, targets, guesses = [], [], []

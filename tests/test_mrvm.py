@@ -84,3 +84,37 @@ def test_empty_map():
     m = MultiResolutionVoxelMap()
     assert m.output_to_numpy().shape == (0, 4)
     assert m.num_voxels == 0
+
+
+def test_submap_inner_mrvm_removes_transient(tmp_path):
+    """enable_inner_mrvm: a point blob present in only one of the frames
+    and crossed by the other frame's rays is attenuated in the submap
+    cloud (submap.cc:100-113 intent, completed here)."""
+    from staticmapping_tpu.builder.frame import Frame, Submap, SubmapOptions
+    from staticmapping_tpu.data import cloud as cloud_lib
+    rng = np.random.default_rng(0)
+    # static wall at x=10 seen from both frames
+    n_w = 2000
+    wall = np.column_stack([np.full(n_w, 10.0) + rng.normal(0, 0.01, n_w),
+                            rng.uniform(-4, 4, n_w),
+                            rng.uniform(-1, 2, n_w)]).astype(np.float32)
+    # transient blob at x=5 only in frame 0 (frame 1's wall rays cross it)
+    n_b = 400
+    blob = np.column_stack([np.full(n_b, 5.0) + rng.normal(0, 0.05, n_b),
+                            rng.uniform(-1, 1, n_b),
+                            rng.uniform(-0.5, 0.5, n_b)]).astype(np.float32)
+    f0 = Frame(stamp=0.0,
+               cloud=cloud_lib.from_numpy(np.vstack([wall, blob]),
+                                          capacity=4096),
+               global_pose=np.eye(4))
+    f1 = Frame(stamp=0.1, cloud=cloud_lib.from_numpy(wall, capacity=4096),
+               global_pose=np.eye(4))
+    s = Submap(0, SubmapOptions(frame_count=2, enable_inner_mrvm=True),
+               capacity=8192)
+    s.insert_frame(f0)
+    s.insert_frame(f1)
+    out = cloud_lib.to_numpy(s.cloud)
+    near_blob = (np.abs(out[:, 0] - 5.0) < 0.5).sum()
+    near_wall = (np.abs(out[:, 0] - 10.0) < 0.5).sum()
+    assert near_wall > 100              # static structure survives
+    assert near_blob < 0.3 * near_wall  # transient attenuated
