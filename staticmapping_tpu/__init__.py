@@ -20,3 +20,21 @@ import jax as _jax
 # throughput-bound kernels (ops/nn_search.py) already pin their own
 # precision explicitly, so this only affects small/accuracy-critical ops.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: the remote-TPU AOT compiler takes tens of
+# seconds per program, and a SLAM pipeline has ~10 distinct programs —
+# cache them on disk so every process (tests, bench, CLI) after the first
+# pays none of it.  Override dir with STATICMAPPING_TPU_CACHE; disable by
+# setting it empty.
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "STATICMAPPING_TPU_CACHE",
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..",
+                  ".jax_cache"))
+if _cache_dir:
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

@@ -47,6 +47,9 @@ def make_parser() -> argparse.ArgumentParser:
                    help="pipeline chunk size (scans per dispatch)")
     p.add_argument("--rate", type=float, default=10.0,
                    help="nominal sensor rate in Hz for synthetic stamps")
+    p.add_argument("--gt", default=None, metavar="POSES_TXT",
+                   help="KITTI-format ground-truth poses; prints ATE/RPE "
+                        "after the run (doc/kitti_evaluation.md protocol)")
     p.add_argument("--urdf", default=None,
                    help="URDF file for static sensor extrinsics "
                         "(-urdf role, static_mapping_node.cpp:319-356)")
@@ -104,9 +107,18 @@ def main(argv=None) -> int:
                 yield i / args.rate, kitti_io.read_bin(f)
     else:
         traj = args.synthetic or "square"
-        scans, _gt = synthetic.make_sequence(
+        scans, gt_poses = synthetic.make_sequence(
             n_scans=args.scans, trajectory=traj, seed=7)
         n_total = len(scans)
+        # ground truth for the synthetic world → the ATE/RPE protocol
+        # works without datasets (sensor-relative, like the estimate)
+        import os as _os
+        _os.makedirs(cfg.map_builder.export_file_path, exist_ok=True)
+        import numpy as _np
+        rel_gt = [_np.linalg.solve(gt_poses[0], g) for g in gt_poses]
+        kitti_io.write_poses(
+            _os.path.join(cfg.map_builder.export_file_path, "gt_pose.txt"),
+            rel_gt)
 
         def scan_iter():
             for i, pts in enumerate(scans):
@@ -134,6 +146,17 @@ def main(argv=None) -> int:
               f"({n_done / max(el, 1e-9):.1f} scans/s), "
               f"{len(mb.trajectory)} submaps, "
               f"outputs in {cfg.map_builder.export_file_path}")
+    if args.gt:
+        import os
+        est_path = os.path.join(cfg.map_builder.export_file_path,
+                                "kitti_pose.txt")
+        if os.path.exists(est_path):
+            est = kitti_io.read_poses(est_path)
+            gt = kitti_io.read_poses(args.gt)
+            ate = kitti_io.ate_rmse(est, gt)
+            t_rpe, r_rpe = kitti_io.rpe(est, gt)
+            print(f"ATE RMSE: {ate:.3f} m   RPE: {t_rpe:.3f} m / "
+                  f"{np.degrees(r_rpe):.3f} deg")
     if args.profile:
         prof.report()
     if profiler is not None:

@@ -273,11 +273,14 @@ class DeviceFrontEnd:
         if np.any(valid):
             self.last_score = float(scores_h[valid][-1])
 
-        # ---- keyframes: fused gather of their clouds ----
+        # ---- keyframes: fused gather of their clouds (always all K
+        # slots — ONE static pattern, so the jit never retraces on
+        # different keyframe masks) ----
         kf_idx = tuple(int(i) for i in np.nonzero(kf_h)[0])
         frames: List[Frame] = []
         if kf_idx:
-            clouds = _gather_frames(sources, kf_idx)
+            all_clouds = _gather_frames(sources, tuple(range(K)))
+            clouds = [all_clouds[i] for i in kf_idx]
             for i, cl in zip(kf_idx, clouds):
                 frames.append(Frame(
                     stamp=float(stamps_abs[i]),
