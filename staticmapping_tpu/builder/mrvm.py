@@ -158,10 +158,14 @@ class MultiResolutionVoxelMap:
             cloud.xyz, cloud.mask, cloud.intensity,
             jnp.asarray(origin), s.high_resolution,
             s.max_ray_steps)
-        v = np.asarray(valid)
-        self._store.merge(np.asarray(keys)[v], np.asarray(hit)[v],
-                          np.asarray(miss)[v], np.asarray(sxyz)[v],
-                          np.asarray(mint)[v], np.asarray(sint)[v])
+        # valid segments occupy a PREFIX of the sorted event slots (invalid
+        # keys sort to the end) — transfer only that prefix: the dense slot
+        # arrays are ~N·(1+max_steps) entries (hundreds of MB over a
+        # remote-TPU link), the prefix is just the touched voxels
+        nv = int(jnp.sum(valid))
+        self._store.merge(np.asarray(keys[:nv]), np.asarray(hit[:nv]),
+                          np.asarray(miss[:nv]), np.asarray(sxyz[:nv]),
+                          np.asarray(mint[:nv]), np.asarray(sint[:nv]))
         self._snapshot = None
 
     # ------------------------------------------------------------------
