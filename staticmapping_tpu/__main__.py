@@ -147,16 +147,23 @@ def main(argv=None) -> int:
               f"{len(mb.trajectory)} submaps, "
               f"outputs in {cfg.map_builder.export_file_path}")
     if args.gt:
-        import os
-        est_path = os.path.join(cfg.map_builder.export_file_path,
-                                "kitti_pose.txt")
-        if os.path.exists(est_path):
-            est = kitti_io.read_poses(est_path)
-            gt = kitti_io.read_poses(args.gt)
-            ate = kitti_io.ate_rmse(est, gt)
-            t_rpe, r_rpe = kitti_io.rpe(est, gt)
-            print(f"ATE RMSE: {ate:.3f} m   RPE: {t_rpe:.3f} m / "
-                  f"{np.degrees(r_rpe):.3f} deg")
+        # stamp-match keyframes to ground-truth rows: kitti_pose.txt is
+        # per-SUBMAP (reference format) while gt is per-scan — naive
+        # index alignment would compare different timebases
+        gt = kitti_io.read_poses(args.gt)
+        pairs = []
+        for s in mb.trajectory:
+            for f in s.frames:
+                gi = int(round(f.stamp * args.rate))
+                if 0 <= gi < len(gt):
+                    pairs.append((f.global_pose, gt[gi]))
+        if pairs:
+            est = np.stack([p[0] for p in pairs])
+            gtm = np.stack([p[1] for p in pairs])
+            ate = kitti_io.ate_rmse(est, gtm)
+            t_rpe, r_rpe = kitti_io.rpe(est, gtm)
+            print(f"ATE RMSE: {ate:.3f} m over {len(pairs)} keyframes   "
+                  f"RPE: {t_rpe:.3f} m / {np.degrees(r_rpe):.3f} deg")
     if args.profile:
         prof.report()
     if profiler is not None:

@@ -57,7 +57,10 @@ class MrvmSettings:
     # TPU knobs: miss samples are spaced max(high_resolution, dist/max_steps)
     # per ray — exact voxel-rate marching near the sensor, sparser on long
     # rays (misses are statistical)
-    max_ray_steps: int = 256              # static cap on samples per ray
+    max_ray_steps: int = 96               # static cap on samples per ray
+    # (96 keeps the event sort ~2.5x cheaper than the exact per-voxel rate
+    # at identical hit accuracy; misses are statistical and the reference's
+    # miss odds are weak, multi_resolution_voxel_map.cc:36-40)
 
 
 # probability clamps (multi_resolution_voxel_map.cc:30-33)
