@@ -27,10 +27,13 @@ REFERENCE_SCANS_PER_SEC = 10.0
 
 
 def pallas_equivalence_check():
-    """The benched Pallas NN kernel must agree with the portable scan path
-    (VERDICT r02 weak #6: the fast path had no correctness coverage).
-    Runs here because bench is the code that actually executes on a TPU
-    every round; returns 'ok' / 'skipped' / a mismatch description."""
+    """The benched Pallas NN kernels must agree with the portable scan path
+    (VERDICT r02 weak #6: the fast path had no correctness coverage;
+    VERDICT r03 weak #7/#8: coverage at exactly one shape, and no batched
+    case — the batched path is what crashed on hardware in round 3).
+    Runs a SWEEP: edge chunk shapes, the 32k/65k submap shapes, and a
+    vmapped B=2 call through the batch-gridded kernel.  Returns a
+    per-shape dict; every value must be 'ok'."""
     import jax
     import jax.numpy as jnp
     from staticmapping_tpu.ops import nn_search
@@ -38,25 +41,51 @@ def pallas_equivalence_check():
     if jax.default_backend() != "tpu":
         return "skipped (no tpu)"
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.uniform(-20, 20, (512, 3)), dtype=jnp.float32)
-    t = jnp.asarray(rng.uniform(-20, 20, (4096, 3)), dtype=jnp.float32)
-    mask = np.ones(4096, dtype=bool)
-    mask[4000:] = False
-    mask = jnp.asarray(mask)
-    d_fast, i_fast = jax.jit(nn_search.nearest_1)(q, t, mask)  # pallas
 
-    @jax.jit
-    def ref(q, t, mask):
-        tgt = jnp.where(mask[:, None], t, jnp.full_like(t, 1.0e5))
-        return nn_search._nearest_scan(q, tgt, mask, tile=512)
+    def one_shape(m, n, n_invalid=0):
+        q = jnp.asarray(rng.uniform(-20, 20, (m, 3)), dtype=jnp.float32)
+        t = jnp.asarray(rng.uniform(-20, 20, (n, 3)), dtype=jnp.float32)
+        mask = np.ones(n, dtype=bool)
+        if n_invalid:
+            mask[-n_invalid:] = False
+        mask = jnp.asarray(mask)
+        d_fast, i_fast = jax.jit(nn_search.nearest_1)(q, t, mask)
 
-    d_ref, i_ref = ref(q, t, mask)
-    d_ok = np.allclose(np.asarray(d_fast)[:512], np.asarray(d_ref),
-                       atol=1e-2)
-    agree = float(np.mean(np.asarray(i_fast)[:512] == np.asarray(i_ref)))
-    if d_ok and agree > 0.999:
-        return "ok"
-    return f"MISMATCH d_ok={d_ok} idx_agree={agree:.4f}"
+        tgt = jnp.where(mask[:, None], t, jnp.full_like(t, 1.0e6))
+        tile = min(1024, n)
+        d_ref, i_ref = nn_search._nearest_scan(q, tgt, mask, tile=tile)
+        d_ok = np.allclose(np.asarray(d_fast), np.asarray(d_ref), atol=1e-2)
+        agree = float(np.mean(np.asarray(i_fast) == np.asarray(i_ref)))
+        return "ok" if (d_ok and agree > 0.999) else \
+            f"MISMATCH d_ok={d_ok} idx_agree={agree:.4f}"
+
+    def batched_shape(b, m, n):
+        q = jnp.asarray(rng.uniform(-20, 20, (b, m, 3)), dtype=jnp.float32)
+        t = jnp.asarray(rng.uniform(-20, 20, (b, n, 3)), dtype=jnp.float32)
+        mask = np.ones((b, n), dtype=bool)
+        mask[:, -n // 16:] = False
+        mask = jnp.asarray(mask)
+        d_fast, i_fast = jax.jit(jax.vmap(nn_search.nearest_1))(q, t, mask)
+        oks = []
+        for k in range(b):
+            tgt = jnp.where(mask[k][:, None], t[k],
+                            jnp.full_like(t[k], 1.0e6))
+            d_ref, i_ref = nn_search._nearest_scan(q[k], tgt, mask[k],
+                                                   tile=min(1024, n))
+            d_ok = np.allclose(np.asarray(d_fast[k]), np.asarray(d_ref),
+                               atol=1e-2)
+            agree = float(np.mean(np.asarray(i_fast[k]) == np.asarray(i_ref)))
+            oks.append(d_ok and agree > 0.999)
+        return "ok" if all(oks) else f"MISMATCH per-pair {oks}"
+
+    out = {}
+    out["512x4096"] = one_shape(512, 4096, n_invalid=96)
+    out["128x128"] = one_shape(128, 128)          # _pick_chunk floor
+    out["1920x2176"] = one_shape(1920, 2176)      # non-pow2 chunk split
+    out["32768x65536"] = one_shape(32768, 65536)  # submap-pair shape
+    out["B2_2048x4096"] = batched_shape(2, 2048, 4096)
+    out["B2_65536x65536"] = batched_shape(2, 65536, 65536)  # r03 crash shape
+    return out
 
 
 def kernel_bench():
@@ -129,6 +158,72 @@ def pipeline_bench(budget_s: float = 420.0):
     return n / dt, n
 
 
+def _ate(mb, gt_poses, rate=10.0):
+    """Stamp-matched ATE of keyframe poses vs simulator ground truth
+    (doc/kitti_evaluation.md protocol; gt is sensor-relative like the
+    estimate)."""
+    from staticmapping_tpu.io import kitti as kitti_io
+    rel_gt = [np.linalg.solve(gt_poses[0], g) for g in gt_poses]
+    pairs = []
+    for s in mb.trajectory:
+        for f in s.frames:
+            gi = int(round(f.stamp * rate))
+            if 0 <= gi < len(rel_gt):
+                pairs.append((f.global_pose, rel_gt[gi]))
+    if not pairs:
+        return None
+    est = np.stack([p[0] for p in pairs])
+    gtm = np.stack([p[1] for p in pairs])
+    return float(kitti_io.ate_rmse(est, gtm))
+
+
+def eval_run(trajectory: str, with_backend: bool, matcher_type: int = 6,
+             pipelined: bool = True, n_scans: int = 0,
+             max_points: int = 15000):
+    """One end-to-end MapBuilder run on the synthetic world; returns a dict
+    with scans/s (timed over the insert loop, warm) and final ATE.
+
+    This is the eval the driver records per round (VERDICT r03 #1/#3: the
+    benchmark must run the BACK END on a loop-closing trajectory and
+    publish ATE, not only scans/s)."""
+    import time as _time
+    from staticmapping_tpu import config as config_lib
+    from staticmapping_tpu.io import synthetic
+
+    cfg = config_lib.load_config(None)
+    cfg.map_builder.export_file_path = \
+        f"/tmp/bench_eval_{trajectory}_{int(with_backend)}_{matcher_type}"
+    cfg.map_builder.front_end.matcher_type = matcher_type
+    cfg.scan_matcher.type = matcher_type
+    cfg.map_builder.front_end.scan_capacity = 16384
+    cfg.map_builder.submap_capacity = 32768
+    if pipelined and matcher_type == 6:
+        cfg.map_builder.pipelined = True
+        cfg.map_builder.pipeline_chunk = 16
+        cfg.map_builder.pair_match_batch = 8
+    mb = config_lib.build_map_builder(cfg, with_backend=with_backend)
+
+    scans, gt_poses = synthetic.make_sequence(
+        n_scans=n_scans, trajectory=trajectory, seed=7,
+        max_points=max_points)
+    t0 = _time.perf_counter()
+    for i, pts in enumerate(scans):
+        mb.insert_pointcloud(i * 0.1, pts)
+    t1 = _time.perf_counter()
+    mb.finish()
+    t2 = _time.perf_counter()
+    return {
+        "trajectory": trajectory,
+        "backend": bool(with_backend),
+        "matcher_type": matcher_type,
+        "n_scans": len(scans),
+        "scans_per_sec": round(len(scans) / (t1 - t0), 2),
+        "finish_s": round(t2 - t1, 2),
+        "ate_m": None if (a := _ate(mb, gt_poses)) is None else round(a, 3),
+        "n_keyframes": sum(len(s.frames) for s in mb.trajectory),
+    }
+
+
 def _note(msg):
     import sys
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
@@ -155,6 +250,30 @@ def main():
                 out["pipeline_timed_scans"] = n
         except Exception as e:   # never lose the primary metric
             out["pipeline_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # ---- end-to-end evals WITH the back end (loop closure + pose graph
+    # + MRVM all in the measured path) on loop-closing trajectories ----
+    if os.environ.get("BENCH_SKIP_EVALS", "0") != "1":
+        evals = []
+        for traj, backend, mtype, n in [("square", True, 6, 0),
+                                        ("square", False, 6, 0),
+                                        ("eight", True, 6, 80),
+                                        ("square", True, 3, 48)]:
+            _note(f"eval: {traj} backend={backend} matcher={mtype}...")
+            try:
+                row = eval_run(traj, with_backend=backend,
+                               matcher_type=mtype, n_scans=n)
+            except Exception as e:
+                row = {"trajectory": traj, "backend": backend,
+                       "matcher_type": mtype,
+                       "error": f"{type(e).__name__}: {e}"[:200]}
+            evals.append(row)
+        out["evals"] = evals
+        for row in evals:
+            if (row.get("trajectory") == "square" and row.get("backend")
+                    and row.get("matcher_type") == 6 and "error" not in row):
+                out["pipeline_backend_scans_per_sec"] = row["scans_per_sec"]
+                out["ate_m"] = row["ate_m"]
 
     # the equivalence check runs LAST: eagerly exercising the pallas +
     # scan paths can leave the remote-TPU terminal in a slow state that

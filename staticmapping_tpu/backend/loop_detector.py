@@ -82,7 +82,8 @@ class LoopDetector:
         self.status = LoopStatus.NO_LOOP
         self.accumulate_count = 0
         self.search_window: Optional[Tuple[int, int]] = None
-        self._target_cache = {}               # index -> NormalCloud
+        from collections import OrderedDict
+        self._target_cache = OrderedDict()    # index -> NormalCloud (LRU)
         self.mesh = mesh                      # optional device mesh for
         # sharded candidate registration (parallel.align_pairs)
 
@@ -190,16 +191,19 @@ class LoopDetector:
 
     # ------------------------------------------------------------------
     def _target_normals(self, index: int):
-        if index not in self._target_cache:
+        """Per-target normal cache, LRU-bounded: CONTINOUS-state loops
+        revisit the same targets for many consecutive submaps, so eviction
+        must be by recency of use, not insertion order (a FIFO thrashes
+        recomputation of 65k-point normal estimates)."""
+        if index in self._target_cache:
+            self._target_cache.move_to_end(index)
+        else:
             from ..builder.frontend import _target_normals as fused_normals
             self._target_cache[index] = fused_normals(
                 self.frames[index].cloud,
                 leaf_size=self.settings.normal_leaf_size)
-            # keep the cache bounded
-            if len(self._target_cache) > 32:
-                oldest = next(iter(self._target_cache))
-                if oldest != index:
-                    del self._target_cache[oldest]
+            while len(self._target_cache) > 32:
+                self._target_cache.popitem(last=False)
         return self._target_cache[index]
 
     def _close_loops(self, pairs: List[Tuple[int, int]]) -> List[LoopEdge]:
@@ -207,11 +211,16 @@ class LoopDetector:
         re-register each source submap onto its target submap with the init
         guess from current globals (z zeroed — the reference's trick,
         cc:290-291). The reference runs candidates on a tbb::task_group
-        (cc:224-228) and hard-codes IcpUsingPointMatcher as the verifier
-        (cc:304); here the verifier is the same trimmed point-to-plane
-        math (the PM default pipeline's minimizer — see
-        registration/icp_pm.py) batched as ONE ``align_pair_list`` call —
-        vmapped on a single device, sharded over ``self.mesh`` when set."""
+        (cc:224-228) and hard-codes IcpUsingPointMatcher as the verifier —
+        a DIFFERENT matcher than the front end, so loop acceptance does not
+        share the odometry's failure modes (cc:304).  Here the verifier is
+        the IcpPointMatcher pipeline (registration/icp_pm.py: hash-thinned
+        reading at the PM RandomSampling 0.9 probability, Counter(150)
+        iteration budget) batched as ONE ``align_pair_list`` call — vmapped
+        on a single device (batch-gridded Pallas NN kernel), sharded over
+        ``self.mesh`` when set."""
+        from ..registration.icp_pm import IcpPointMatcher, _hash_thin
+        pm = IcpPointMatcher()
         s = self.settings
         sources, targets, guesses = [], [], []
         for target_id, source_id in pairs:
@@ -219,11 +228,14 @@ class LoopDetector:
                 self.frames[source_id].global_pose
             g = g.copy()
             g[2, 3] = 0.0
-            sources.append(self.frames[source_id].cloud)
+            sources.append(_hash_thin(self.frames[source_id].cloud,
+                                      pm.reading_sample_prob))
             targets.append(self._target_normals(target_id))
             guesses.append(g)
         Ts, scores = align_pair_list(sources, targets, guesses,
-                                     mesh=self.mesh)
+                                     mesh=self.mesh,
+                                     dist_outlier_ratio=pm.dist_outlier_ratio,
+                                     max_iteration=pm.max_iteration)
         edges = []
         for (target_id, source_id), T, score, g in zip(
                 pairs, Ts, scores, guesses):

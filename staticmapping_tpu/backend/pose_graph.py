@@ -574,20 +574,15 @@ class PoseGraph:
     # matrix-free block-sparse PCG solver (pose_graph_sparse.py)
     DENSE_NODE_LIMIT = 192
 
-    def optimize(self, poses_np: np.ndarray, num_iters: int = 8,
-                 solver: str = "auto", mesh=None) -> np.ndarray:
-        """poses_np [n, 4, 4] f64 → optimized [n, 4, 4] f64. Special-node
-        estimates are updated in ``self.special_values``.
-
-        solver: "dense" (one MXU ``linalg.solve`` — small graphs),
-        "pcg" (matrix-free block-sparse GN+PCG — scales to 10⁴+ nodes), or
-        "auto" (pick by node count).  ``mesh`` switches the PCG path to the
-        sharded-linearization solver (between factors sharded + psum)."""
-        from ..common import np_se3
+    def solver_args(self, poses_np: np.ndarray, min_fcap: int = 16):
+        """Build the full solver argument tuple ``(poses, node_mask, fi, fj,
+        T_meas, inv_sigmas, fmask, …)`` shared by every solver backend
+        (dense / PCG / sharded / multi-host — parallel/multihost.py slices
+        the between-factor arrays [2:7] into per-process shards)."""
         n = self.num_nodes
         assert poses_np.shape[0] == n
         ncap = _pad_pow2(n + NUM_SPECIAL_NODES, 8)
-        fcap = _pad_pow2(len(self.factors), 16)
+        fcap = _pad_pow2(len(self.factors), min_fcap)
         gcap = _pad_pow2(len(self.gps_factors), 4)
         ocap = _pad_pow2(len(self.odom_factors), 4)
         pcap = _pad_pow2(len(self.prior_factors), 4)
@@ -620,8 +615,6 @@ class PoseGraph:
             self.prior_factors.T_prior, self.prior_factors.sigmas)
         pi, p_T, p_inv_s, pmask = pf.device_arrays(pcap)
 
-        if solver == "auto":
-            solver = "dense" if ncap <= self.DENSE_NODE_LIMIT else "pcg"
         args = (jnp.asarray(poses), jnp.asarray(node_mask),
                 fi, fj, Tm, inv_s, fmask,
                 gi, g_enu, g_ptg, g_inv_s, g_ue, gmask,
@@ -629,6 +622,33 @@ class PoseGraph:
                 oi, o_T, o_inv_s, omask, jnp.int32(odom_calib_idx),
                 jnp.float32(1.0),
                 pi, p_T, p_inv_s, pmask)
+        return args, ncap, sp_base
+
+    def finish_optimize(self, out, chi2, sp_base, node_mask) -> np.ndarray:
+        """Common post-solve bookkeeping: record chi², pull special-node
+        estimates, re-orthonormalize after f32 accumulation."""
+        from ..common import np_se3
+        n = self.num_nodes
+        self.last_chi2 = float(chi2)
+        out = np.asarray(out, dtype=np.float64)
+        for k in range(NUM_SPECIAL_NODES):
+            if node_mask[sp_base + k]:
+                self.special_values[k] = np_se3.normalize_rotation(
+                    out[sp_base + k])
+        return np.stack([np_se3.normalize_rotation(T) for T in out[:n]])
+
+    def optimize(self, poses_np: np.ndarray, num_iters: int = 8,
+                 solver: str = "auto", mesh=None) -> np.ndarray:
+        """poses_np [n, 4, 4] f64 → optimized [n, 4, 4] f64. Special-node
+        estimates are updated in ``self.special_values``.
+
+        solver: "dense" (one MXU ``linalg.solve`` — small graphs),
+        "pcg" (matrix-free block-sparse GN+PCG — scales to 10⁴+ nodes), or
+        "auto" (pick by node count).  ``mesh`` switches the PCG path to the
+        sharded-linearization solver (between factors sharded + psum)."""
+        args, ncap, sp_base = self.solver_args(poses_np)
+        if solver == "auto":
+            solver = "dense" if ncap <= self.DENSE_NODE_LIMIT else "pcg"
         if solver == "dense":
             out, chi2, self.last_trace = gauss_newton(
                 *args, num_iters=num_iters)
@@ -640,11 +660,5 @@ class PoseGraph:
             from . import pose_graph_sparse
             out, chi2, self.last_trace = pose_graph_sparse.gauss_newton_pcg(
                 *args, num_iters=num_iters)
-        self.last_chi2 = float(chi2)
-        out = np.asarray(out, dtype=np.float64)
-        for k in range(NUM_SPECIAL_NODES):
-            if node_mask[sp_base + k]:
-                self.special_values[k] = np_se3.normalize_rotation(
-                    out[sp_base + k])
-        # re-orthonormalize after f32 accumulation
-        return np.stack([np_se3.normalize_rotation(T) for T in out[:n]])
+        return self.finish_optimize(out, chi2, sp_base,
+                                    np.asarray(args[1]))

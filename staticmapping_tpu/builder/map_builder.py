@@ -49,10 +49,11 @@ def _pair_match_batch(sources, targets, guesses, leaf_size: int, tile: int):
     per-pair program for every pair back-to-back (async — XLA queues them
     on device) and only then read the results.  This is the reference's
     thread-pool SubmapPairMatch queue (map_builder.cc:705-709) re-expressed
-    as device-queue parallelism (SURVEY §2.9 P2).  (A vmapped Pallas NN
-    kernel would multiply its VMEM scratch by B and OOM; a ``lax.map``
-    version compiles for minutes — async queuing gets the same latency
-    amortization with zero extra compiles.)"""
+    as device-queue parallelism (SURVEY §2.9 P2).  (A vmapped version —
+    possible since ops/nn_search.py grew a batch-gridded kernel — would
+    add a whole extra compile of the fused normals+ICP program per batch
+    shape; async queuing gets the same latency amortization with zero
+    extra compiles.)"""
     outs = [_pair_match(s, t, jnp.asarray(g, dtype=jnp.float32),
                         leaf_size=leaf_size, tile=tile)
             for s, t, g in zip(sources, targets, guesses)]
@@ -107,7 +108,23 @@ class MapBuilder:
         if self.options.use_imu:
             from .pose_extrapolator import PoseExtrapolator
             extrapolator = PoseExtrapolator(mode=PoseExtrapolator.MODE_IMU)
+            if self.options.pipelined:
+                # the chunked device front end carries a CTRV state only —
+                # IMU-driven extrapolation needs the host extrapolator, so
+                # the combination falls back to the sequential front end
+                # (LOUDLY: a silent fallback hid this in round 3)
+                import warnings
+                warnings.warn(
+                    "pipelined=True is unavailable with use_imu=True; "
+                    "falling back to the sequential front end "
+                    "(IMU extrapolation is host-side)", stacklevel=2)
         if self.options.pipelined and not self.options.use_imu:
+            if self.options.front_end.matcher_type != 6:
+                raise ValueError(
+                    "pipelined=True supports matcher_type 6 (IcpFast) only "
+                    f"— got matcher_type={self.options.front_end.matcher_type}. "
+                    "Use pipelined=False for matcher types 1/3/5 "
+                    "(registrators/interface.cc:139-173 registry).")
             from .pipeline import DeviceFrontEnd
             self.front_end = DeviceFrontEnd(
                 self.options.front_end, filter_chain=filter_chain,
@@ -246,9 +263,11 @@ class MapBuilder:
                                             self._current_submap)
 
     def _flush_pair_matches(self) -> None:
-        """Resolve the deferred pair-match queue with ONE vmapped dispatch
-        (P2 batching; SubmapPairMatch semantics map_builder.cc:399-446),
-        then feed the queued submaps to the back end in order."""
+        """Resolve the deferred pair-match queue with ONE host sync — the
+        per-pair programs are dispatched back-to-back and read together
+        (see ``_pair_match_batch``; P2 batching, SubmapPairMatch semantics
+        map_builder.cc:399-446) — then feed the queued submaps to the back
+        end in order."""
         from ..common import prof
         queued = self._pending_submaps
         self._pending_submaps = []

@@ -53,7 +53,9 @@ class MrvmSettings:
     hit_prob: float = 0.55
     miss_prob: float = 0.48
     z_offset: float = 0.0
-    max_point_num_in_cell: int = 10       # kept for config parity
+    # cap on hit points admitted into per-cell position/intensity averages
+    # (multi_resolution_voxel_map.cc:100); 0 disables the cap
+    max_point_num_in_cell: int = 10
     # TPU knobs: miss samples are spaced max(high_resolution, dist/max_steps)
     # per ray — exact voxel-rate marching near the sensor, sparser on long
     # rays (misses are statistical)
@@ -168,7 +170,8 @@ class MultiResolutionVoxelMap:
         nv = int(jnp.sum(valid))
         self._store.merge(np.asarray(keys[:nv]), np.asarray(hit[:nv]),
                           np.asarray(miss[:nv]), np.asarray(sxyz[:nv]),
-                          np.asarray(mint[:nv]), np.asarray(sint[:nv]))
+                          np.asarray(mint[:nv]), np.asarray(sint[:nv]),
+                          cap=float(s.max_point_num_in_cell))
         self._snapshot = None
 
     # ------------------------------------------------------------------
@@ -179,7 +182,7 @@ class MultiResolutionVoxelMap:
 
     def probabilities(self) -> np.ndarray:
         s = self.settings
-        _, hits, misses, _, _, _ = self._export()
+        _, hits, misses, _, _, _, _ = self._export()
         lo = (hits * prob_to_log_odds(s.hit_prob)
               + misses * prob_to_log_odds(s.miss_prob))
         p = log_odds_to_prob(lo)
@@ -189,7 +192,8 @@ class MultiResolutionVoxelMap:
                         ) -> np.ndarray:
         """OutputToPointCloud parity (cc:125-242): emit voxels with
         occupancy > threshold as (x, y, z, intensity)."""
-        keys, hits, misses, sum_xyz, max_int, sum_int = self._export()
+        keys, hits, misses, sum_xyz, max_int, sum_int, avg_cnt = \
+            self._export()
         if not len(hits):
             return np.zeros((0, 4), dtype=np.float32)
         s = self.settings
@@ -199,15 +203,16 @@ class MultiResolutionVoxelMap:
         centers = (keys[keep].astype(np.float64) + 0.5) \
             * s.high_resolution
         if s.output_average:
-            pts = sum_xyz[keep] / np.maximum(hits[keep], 1)[:, None]
+            pts = sum_xyz[keep] / np.maximum(avg_cnt[keep], 1)[:, None]
         else:
             pts = centers
         # use_max_intensity selects max vs per-voxel average intensity
-        # (multi_resolution_voxel_map.cc intensity policy)
+        # (multi_resolution_voxel_map.cc intensity policy); averages run
+        # over the ≤max_point_num_in_cell admitted points (cc:100)
         if s.use_max_intensity:
             inten = max_int[keep]
         else:
-            inten = sum_int[keep] / np.maximum(hits[keep], 1)
+            inten = sum_int[keep] / np.maximum(avg_cnt[keep], 1)
         return np.column_stack([pts, inten]).astype(np.float32)
 
     @property

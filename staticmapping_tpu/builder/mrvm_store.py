@@ -32,6 +32,7 @@ class _NativeStore:
             np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
             ctypes.c_int64,
+            ctypes.c_double,
         ]
         lib.mrvm_store_export.argtypes = [
             ctypes.c_void_p,
@@ -41,6 +42,7 @@ class _NativeStore:
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
         ]
         self._h = lib.mrvm_store_create()
 
@@ -49,7 +51,8 @@ class _NativeStore:
             self._lib.mrvm_store_destroy(self._h)
             self._h = None
 
-    def merge(self, keys, hits, misses, sum_xyz, max_int, sum_int) -> None:
+    def merge(self, keys, hits, misses, sum_xyz, max_int, sum_int,
+              cap: float = 0.0) -> None:
         n = len(hits)
         if n == 0:
             return
@@ -61,7 +64,7 @@ class _NativeStore:
             np.ascontiguousarray(sum_xyz, dtype=np.float64),
             np.ascontiguousarray(max_int, dtype=np.float32),
             np.ascontiguousarray(sum_int, dtype=np.float64),
-            n)
+            n, float(cap))
 
     @property
     def size(self) -> int:
@@ -75,10 +78,11 @@ class _NativeStore:
         sum_xyz = np.empty((v, 3), dtype=np.float64)
         max_int = np.empty(v, dtype=np.float32)
         sum_int = np.empty(v, dtype=np.float64)
+        avg_cnt = np.empty(v, dtype=np.float64)
         if v:
             self._lib.mrvm_store_export(self._h, keys, hits, misses,
-                                        sum_xyz, max_int, sum_int)
-        return keys, hits, misses, sum_xyz, max_int, sum_int
+                                        sum_xyz, max_int, sum_int, avg_cnt)
+        return keys, hits, misses, sum_xyz, max_int, sum_int, avg_cnt
 
 
 class _NumpyStore:
@@ -91,18 +95,37 @@ class _NumpyStore:
         self.sum_xyz = np.zeros((0, 3))
         self.max_int = np.zeros(0, dtype=np.float32)
         self.sum_int = np.zeros(0)
+        self.avg_cnt = np.zeros(0)
 
-    def merge(self, keys, hits, misses, sum_xyz, max_int, sum_int) -> None:
+    def merge(self, keys, hits, misses, sum_xyz, max_int, sum_int,
+              cap: float = 0.0) -> None:
         all_keys = np.concatenate([self.keys, keys.astype(np.int64)])
         uniq, inv = np.unique(all_keys, axis=0, return_inverse=True)
         nv = uniq.shape[0]
+        n_old = len(self.hits)
 
         def acc(a, b):
             return np.bincount(inv, weights=np.concatenate([a, b]),
                                minlength=nv)
 
+        # max_point_num_in_cell (multi_resolution_voxel_map.cc:100): admit
+        # at most cap hit points per cell into the position/intensity sums
+        # (fractional when a scan straddles the cap)
+        if cap > 0.0:
+            old_cnt = np.zeros(nv)
+            np.add.at(old_cnt, inv[:n_old], self.avg_cnt)
+            allowed = np.clip(cap - old_cnt[inv[n_old:]], 0.0, hits)
+            frac = np.divide(allowed, hits, out=np.zeros_like(allowed),
+                             where=hits > 0)
+            sum_xyz = sum_xyz * frac[:, None]
+            sum_int = sum_int * frac
+            new_avg = allowed
+        else:
+            new_avg = np.asarray(hits, dtype=np.float64)
+
         self.hits = acc(self.hits, hits)
         self.misses = acc(self.misses, misses)
+        self.avg_cnt = acc(self.avg_cnt, new_avg)
         self.sum_xyz = np.column_stack([
             acc(self.sum_xyz[:, k], sum_xyz[:, k]) for k in range(3)])
         self.sum_int = acc(self.sum_int, sum_int)
@@ -119,7 +142,7 @@ class _NumpyStore:
 
     def export(self):
         return (self.keys.astype(np.int32), self.hits, self.misses,
-                self.sum_xyz, self.max_int, self.sum_int)
+                self.sum_xyz, self.max_int, self.sum_int, self.avg_cnt)
 
 
 def make_store(prefer_native: bool = True):

@@ -28,6 +28,8 @@ struct Cell {
   double misses;
   double sum_x, sum_y, sum_z;
   double sum_int;
+  double avg_cnt;    // hits admitted into sum_* (capped at
+                     // max_point_num_in_cell, multi_resolution_voxel_map.cc:100)
   float max_int;
 };
 
@@ -63,6 +65,7 @@ struct Store {
         c.hits = c.misses = 0.0;
         c.sum_x = c.sum_y = c.sum_z = 0.0;
         c.sum_int = 0.0;
+        c.avg_cnt = 0.0;
         c.max_int = -1.0f;
         ++count;
         return &c;
@@ -106,10 +109,13 @@ int64_t mrvm_store_size(void *h) {
 }
 
 // Merge n per-scan voxel aggregates.  keys: [n,3] int32; the rest [n].
+// cap > 0 bounds how many hit points contribute to the position/intensity
+// sums per cell (max_point_num_in_cell, multi_resolution_voxel_map.cc:100);
+// a scan whose contribution straddles the cap is admitted fractionally.
 void mrvm_store_merge(void *h, const int32_t *keys, const double *hits,
                       const double *misses, const double *sum_xyz,
                       const float *max_int, const double *sum_int,
-                      int64_t n) {
+                      int64_t n, double cap) {
   Store *s = static_cast<Store *>(h);
   for (int64_t i = 0; i < n; ++i) {
     s->maybe_grow();
@@ -117,17 +123,28 @@ void mrvm_store_merge(void *h, const int32_t *keys, const double *hits,
         pack_key(keys[3 * i], keys[3 * i + 1], keys[3 * i + 2]));
     c->hits += hits[i];
     c->misses += misses[i];
-    c->sum_x += sum_xyz[3 * i];
-    c->sum_y += sum_xyz[3 * i + 1];
-    c->sum_z += sum_xyz[3 * i + 2];
-    c->sum_int += sum_int[i];
+    double allowed = hits[i];
+    if (cap > 0.0) {
+      allowed = cap - c->avg_cnt;
+      if (allowed > hits[i]) allowed = hits[i];
+      if (allowed < 0.0) allowed = 0.0;
+    }
+    if (allowed > 0.0) {
+      double frac = hits[i] > 0.0 ? allowed / hits[i] : 0.0;
+      c->sum_x += sum_xyz[3 * i] * frac;
+      c->sum_y += sum_xyz[3 * i + 1] * frac;
+      c->sum_z += sum_xyz[3 * i + 2] * frac;
+      c->sum_int += sum_int[i] * frac;
+      c->avg_cnt += allowed;
+    }
     if (max_int[i] > c->max_int) c->max_int = max_int[i];
   }
 }
 
 // Export every cell.  Buffers must hold mrvm_store_size() entries.
 void mrvm_store_export(void *h, int32_t *keys, double *hits, double *misses,
-                       double *sum_xyz, float *max_int, double *sum_int) {
+                       double *sum_xyz, float *max_int, double *sum_int,
+                       double *avg_cnt) {
   Store *s = static_cast<Store *>(h);
   constexpr int64_t kBias = 1 << 20;
   int64_t out = 0;
@@ -144,6 +161,7 @@ void mrvm_store_export(void *h, int32_t *keys, double *hits, double *misses,
     sum_xyz[3 * out + 2] = c.sum_z;
     max_int[out] = c.max_int;
     sum_int[out] = c.sum_int;
+    avg_cnt[out] = c.avg_cnt;
     ++out;
   }
 }

@@ -11,13 +11,17 @@ from __future__ import annotations
 import dataclasses
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from ..data.cloud import PointCloud, PAD_COORD
 
-_INVALID_KEY = jnp.int32(2**31 - 1)
+# host scalar, NOT jnp: a module-level jnp.int32 would allocate on device
+# at import time and break jax.distributed.initialize-before-first-JAX-call
+# (parallel/multihost.py)
+_INVALID_KEY = np.int32(2**31 - 1)
 
 
 def voxel_indices(xyz: jax.Array, voxel_size: float, mode: str = "round"):

@@ -99,7 +99,8 @@ def align_pairs_sharded(batch_src: PointCloud, batch_tgt: NormalCloud,
                         guesses: jax.Array, mesh: Mesh,
                         dist_outlier_ratio: float = 0.7,
                         max_iteration: int = 100,
-                        exact_quantile: bool = False):
+                        exact_quantile: bool = False,
+                        already_sharded: bool = False):
     """Shard the pair batch over ``mesh`` axis "submaps" and register all
     pairs in one jitted step.
 
@@ -128,10 +129,14 @@ def align_pairs_sharded(batch_src: PointCloud, batch_tgt: NormalCloud,
         per_shard, mesh=mesh, in_specs=(spec, spec, spec),
         out_specs=(spec, spec, P()), check_vma=False))
 
-    sharding = NamedSharding(mesh, spec)
-    batch_src = jax.device_put(batch_src, sharding)
-    batch_tgt = jax.device_put(batch_tgt, sharding)
-    guesses = jax.device_put(guesses, sharding)
+    if not already_sharded:
+        # single-process path: place the host batch onto the mesh here.
+        # Multi-host callers (parallel/multihost.py) build global arrays
+        # from per-process shards instead and skip this device_put.
+        sharding = NamedSharding(mesh, spec)
+        batch_src = jax.device_put(batch_src, sharding)
+        batch_tgt = jax.device_put(batch_tgt, sharding)
+        guesses = jax.device_put(guesses, sharding)
     return fn(batch_src, batch_tgt, guesses)
 
 

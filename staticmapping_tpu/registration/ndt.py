@@ -225,13 +225,16 @@ def align_ndt(source: PointCloud, ndt_map: NdtMap, guess: jax.Array,
         A = jnp.einsum("njk,nkl->jl", JT_lam, J)             # [6, 6]
         A = A + 1e-6 * jnp.eye(6, dtype=f32)
         dx = jnp.linalg.solve(A, b_vec[:, None])[:, 0] * step_damping
-        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+        finite = jnp.all(jnp.isfinite(dx))
+        dx = jnp.where(finite, dx, jnp.zeros_like(dx))
         dT = se3.from_rt(se3.axis_angle_to_matrix(dx[:3]), dx[3:])
         T_new = dT @ state.T_iter
 
-        # convergence on update magnitude (transformation_epsilon parity)
+        # convergence on update magnitude (transformation_epsilon parity).
+        # A non-finite solve (degenerate A) must NOT read as converged —
+        # zeroed dx would otherwise pass the epsilon test on iteration 1.
         delta = jnp.linalg.norm(dx)
-        converged = delta < transformation_epsilon
+        converged = finite & (delta < transformation_epsilon)
         # fitness: mean distance of hit points to their voxel mean
         n_hit = jnp.maximum(jnp.sum(hit[:, 0]), 1)
         avg_d = jnp.sum(jnp.where(hit[:, 0],

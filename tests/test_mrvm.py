@@ -46,7 +46,7 @@ def test_dynamic_object_removed():
     # coincident hits and no ray crossings can survive — the reference's
     # weak miss odds keep those too)
     near_car = np.abs(out[:, 0] - 5.0) < 0.5
-    keys, hits, _, _, _, _ = m._export()
+    keys, hits, _, _, _, _, _ = m._export()
     hit_once = hits[np.abs(keys[:, 0] * 0.1 - 5.0) < 0.5]
     initially_occupied = (hit_once > 0).sum()
     assert near_car.sum() < 0.05 * initially_occupied, (
