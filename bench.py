@@ -52,7 +52,8 @@ def pallas_equivalence_check():
         d_fast, i_fast = jax.jit(nn_search.nearest_1)(q, t, mask)
 
         tgt = jnp.where(mask[:, None], t, jnp.full_like(t, 1.0e6))
-        tile = min(1024, n)
+        import math as _math
+        tile = _math.gcd(n, 1024) or n   # must divide the target capacity
         d_ref, i_ref = nn_search._nearest_scan(q, tgt, mask, tile=tile)
         d_ok = np.allclose(np.asarray(d_fast), np.asarray(d_ref), atol=1e-2)
         agree = float(np.mean(np.asarray(i_fast) == np.asarray(i_ref)))
@@ -70,8 +71,9 @@ def pallas_equivalence_check():
         for k in range(b):
             tgt = jnp.where(mask[k][:, None], t[k],
                             jnp.full_like(t[k], 1.0e6))
-            d_ref, i_ref = nn_search._nearest_scan(q[k], tgt, mask[k],
-                                                   tile=min(1024, n))
+            import math as _math
+            d_ref, i_ref = nn_search._nearest_scan(
+                q[k], tgt, mask[k], tile=_math.gcd(n, 1024) or n)
             d_ok = np.allclose(np.asarray(d_fast[k]), np.asarray(d_ref),
                                atol=1e-2)
             agree = float(np.mean(np.asarray(i_fast[k]) == np.asarray(i_ref)))
@@ -141,8 +143,8 @@ def pipeline_bench(budget_s: float = 420.0):
     opts = MapBuilderOptions(
         front_end=FrontEndOptions(scan_capacity=16384, nn_tile=1024),
         submap=SubmapOptions(frame_count=2, enable_voxel_filter=True),
-        submap_capacity=32768, pipelined=True, pipeline_chunk=16,
-        pair_match_batch=8)
+        submap_capacity=32768, pipelined=True, pipeline_chunk=32,
+        pair_match_batch=16)
     mb = MapBuilder(opts)
     t0 = time.perf_counter()
     warm = 50
@@ -197,10 +199,19 @@ def eval_run(trajectory: str, with_backend: bool, matcher_type: int = 6,
     cfg.scan_matcher.type = matcher_type
     cfg.map_builder.front_end.scan_capacity = 16384
     cfg.map_builder.submap_capacity = 32768
+    # fitness = exp(-avg matched NN dist) is density-dependent: the
+    # synthetic world's ~15k-point scans bottom out around 0.45-0.6 even
+    # when perfectly aligned, far under the KITTI-calibrated acceptance
+    # (0.7/0.75, config/lidar_only_kitti.xml:95,123) — recalibrate the
+    # SAME knobs for this density so the backend actually acts (loop
+    # edges remain guarded by the mutual-consistency check,
+    # loop_detector.cc:320-345)
+    cfg.map_builder.submap_matcher_accepted_min_score = 0.45
+    cfg.loop_detector.accept_scan_match_score = 0.40
     if pipelined and matcher_type == 6:
         cfg.map_builder.pipelined = True
         cfg.map_builder.pipeline_chunk = 16
-        cfg.map_builder.pair_match_batch = 8
+        cfg.map_builder.pair_match_batch = 16
     mb = config_lib.build_map_builder(cfg, with_backend=with_backend)
 
     scans, gt_poses = synthetic.make_sequence(

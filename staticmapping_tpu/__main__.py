@@ -79,7 +79,7 @@ def main(argv=None) -> int:
     if args.pipelined:
         cfg.map_builder.pipelined = True
         cfg.map_builder.pipeline_chunk = args.chunk
-        cfg.map_builder.pair_match_batch = 8
+        cfg.map_builder.pair_match_batch = 16
     if args.profile:
         prof.enable()
     profiler = None
@@ -107,6 +107,17 @@ def main(argv=None) -> int:
                 yield i / args.rate, kitti_io.read_bin(f)
     else:
         traj = args.synthetic or "square"
+        if args.cfg is None:
+            # fitness scores are density-dependent; the synthetic world's
+            # sparse scans bottom out around 0.45-0.6 aligned, so the
+            # KITTI-calibrated 0.7/0.75 acceptance (lidar_only_kitti.xml)
+            # would reject every match.  Recalibrate the same knobs when
+            # no explicit config was given (an explicit --cfg wins).
+            cfg.map_builder.submap_matcher_accepted_min_score = 0.45
+            if not args.no_backend and mb.backend is not None and \
+                    hasattr(mb.backend, "loop_detector"):
+                mb.backend.loop_detector.settings.accept_scan_match_score \
+                    = 0.40
         scans, gt_poses = synthetic.make_sequence(
             n_scans=args.scans, trajectory=traj, seed=7)
         n_total = len(scans)

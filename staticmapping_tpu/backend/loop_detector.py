@@ -191,17 +191,21 @@ class LoopDetector:
 
     # ------------------------------------------------------------------
     def _target_normals(self, index: int):
-        """Per-target normal cache, LRU-bounded: CONTINOUS-state loops
-        revisit the same targets for many consecutive submaps, so eviction
-        must be by recency of use, not insertion order (a FIFO thrashes
-        recomputation of 65k-point normal estimates)."""
+        """Per-target normals: reuse the submap's own cached normal cloud
+        when available (computed once at pair-match time,
+        builder/frame.py Submap.normal_cloud — the back end's two normal
+        consumers share one computation), else compute into a local
+        LRU-bounded cache.  LRU, not FIFO: CONTINOUS-state loops revisit
+        the same targets for many consecutive submaps."""
+        frame = self.frames[index]
+        if hasattr(frame, "normal_cloud"):
+            return frame.normal_cloud(self.settings.normal_leaf_size)
         if index in self._target_cache:
             self._target_cache.move_to_end(index)
         else:
             from ..builder.frontend import _target_normals as fused_normals
             self._target_cache[index] = fused_normals(
-                self.frames[index].cloud,
-                leaf_size=self.settings.normal_leaf_size)
+                frame.cloud, leaf_size=self.settings.normal_leaf_size)
             while len(self._target_cache) > 32:
                 self._target_cache.popitem(last=False)
         return self._target_cache[index]
@@ -222,29 +226,57 @@ class LoopDetector:
         from ..registration.icp_pm import IcpPointMatcher, _hash_thin
         pm = IcpPointMatcher()
         s = self.settings
+        # speculative multi-guess registration (SURVEY §7.3): by the time a
+        # loop closes, yaw drift can put the odometry guess outside ICP's
+        # convergence basin — each candidate runs from several yaw-perturbed
+        # guesses IN THE SAME BATCH (free parallelism on the batch-gridded
+        # kernel) and keeps its best-fitness result, which also decorrelates
+        # the per-candidate local minima before the mutual-consistency vote.
+        yaw_offsets = (0.0, 0.06, -0.06)
+        G = len(yaw_offsets)
         sources, targets, guesses = [], [], []
         for target_id, source_id in pairs:
-            g = np_se3.inverse(self.frames[target_id].global_pose) @ \
+            g0 = np_se3.inverse(self.frames[target_id].global_pose) @ \
                 self.frames[source_id].global_pose
-            g = g.copy()
-            g[2, 3] = 0.0
-            sources.append(_hash_thin(self.frames[source_id].cloud,
-                                      pm.reading_sample_prob))
-            targets.append(self._target_normals(target_id))
-            guesses.append(g)
-        Ts, scores = align_pair_list(sources, targets, guesses,
-                                     mesh=self.mesh,
-                                     dist_outlier_ratio=pm.dist_outlier_ratio,
-                                     max_iteration=pm.max_iteration)
+            g0 = g0.copy()
+            g0[2, 3] = 0.0
+            src = _hash_thin(self.frames[source_id].cloud,
+                             pm.reading_sample_prob)
+            tgt = self._target_normals(target_id)
+            for dy in yaw_offsets:
+                g = g0.copy()
+                g[:3, :3] = g0[:3, :3] @ np_se3.euler_to_matrix(
+                    np.array([0.0, 0.0, dy]))
+                sources.append(src)
+                targets.append(tgt)
+                guesses.append(g)
+        Ts, scores = align_pair_list(
+            sources, targets, guesses, mesh=self.mesh,
+            dist_outlier_ratio=pm.dist_outlier_ratio,
+            max_iteration=pm.max_iteration,
+            # candidates arrive 1..nearest_history_pos_num+1 at a time —
+            # pad to one fixed batch shape so the 150-iteration program
+            # compiles once, not once per candidate count
+            pad_to=G * (s.nearest_history_pos_num + 1))
+        import os as _os
+        if _os.environ.get("STATICMAPPING_LOOP_DEBUG"):
+            import sys as _sys
+            print(f"[loop] pairs={pairs} scores="
+                  f"{[round(float(x), 3) for x in scores]} "
+                  f"accept>{s.accept_scan_match_score}",
+                  file=_sys.stderr, flush=True)
         edges = []
-        for (target_id, source_id), T, score, g in zip(
-                pairs, Ts, scores, guesses):
+        for k, (target_id, source_id) in enumerate(pairs):
+            block = slice(k * G, (k + 1) * G)
+            best = int(np.argmax(scores[block])) + k * G
+            score = scores[best]
             if score > s.accept_scan_match_score:
                 edges.append(LoopEdge(
                     target_id, source_id,
-                    np_se3.normalize_rotation(np.asarray(T, dtype=np.float64)),
+                    np_se3.normalize_rotation(
+                        np.asarray(Ts[best], dtype=np.float64)),
                     score=-math.log(max(score, 1e-9)),
-                    init_guess=g))
+                    init_guess=guesses[k * G]))
         return edges
 
     def _check_result(self, result: DetectResult) -> bool:
@@ -255,11 +287,17 @@ class LoopDetector:
         first = result.edges[0]
         first_pose = self.frames[first.target_index].global_pose @ \
             first.transform
+        import os as _os
         for edge in result.edges[1:]:
             pose = self.frames[edge.target_index].global_pose @ edge.transform
             diff = np_se3.inverse(first_pose) @ pose
             trans_diff = np.linalg.norm(diff[:3, 3])
             rot_diff = np.linalg.norm(np_se3.matrix_to_euler(diff[:3, :3]))
+            if _os.environ.get("STATICMAPPING_LOOP_DEBUG"):
+                import sys as _sys
+                print(f"[loop] consistency: trans {trans_diff:.3f} m "
+                      f"rot {rot_diff:.4f} rad (limits 0.25/0.02)",
+                      file=_sys.stderr, flush=True)
             if trans_diff > 0.25 or rot_diff > 0.02:
                 return False
         return True

@@ -114,6 +114,29 @@ class Submap:
         self.save_dir = save_dir
         self.inactive_time: float = 0.0
         self._on_disk = False
+        # cached target normals (computed once per submap; reused by the
+        # submap-pair matcher AND loop-closure re-registration — normal
+        # estimation is a log2(N)-round sort cascade, the single most
+        # expensive per-submap device program)
+        self._normals = None
+        self._normals_leaf: int = -1
+
+    # ---------------------------------------------------- normal cache --
+    def normal_cloud(self, leaf_size: int):
+        """Downsampled submap cloud + normals at ``leaf_size``, cached
+        (both back-end consumers use the same leaf size; a different one
+        recomputes)."""
+        if self._normals is None or self._normals_leaf != leaf_size:
+            from .frontend import _target_normals
+            self._normals = _target_normals(self.cloud,
+                                            leaf_size=leaf_size)
+            self._normals_leaf = leaf_size
+        return self._normals
+
+    def set_normal_cloud(self, nc, leaf_size: int) -> None:
+        """Install externally-computed normals (batched fill path)."""
+        self._normals = nc
+        self._normals_leaf = leaf_size
 
     # ------------------------------------------------- cloud + offload --
     @property

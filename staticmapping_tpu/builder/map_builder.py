@@ -33,33 +33,49 @@ from functools import partial
 import jax
 
 
-@partial(jax.jit, static_argnames=("leaf_size", "tile"))
-def _pair_match(source_cloud, target_cloud, guess, leaf_size: int,
-                tile: int):
-    """Submap-pair registration (normal estimation + point-to-plane ICP)
-    fused into ONE device dispatch (SubmapPairMatch, map_builder.cc:399-446;
-    eager dispatch over the remote-TPU tunnel costs seconds per op)."""
-    target_nc = estimate_normals(target_cloud.compact(),
-                                 leaf_size=leaf_size)
-    return align_point_to_plane(source_cloud, target_nc, guess, tile=tile)
+@partial(jax.jit, static_argnames=("stride",))
+def _stride_sample(cloud, stride: int):
+    """Uniform source subsampling for submap-pair registration: compact the
+    valid points to the front (stable — preserves scan-time order) and keep
+    every ``stride``-th, shrinking the CAPACITY by ``stride``.
+
+    The brute-force MXU correspondence search costs O(capacity_src ×
+    capacity_tgt) regardless of the valid count, so a mask-only thinning
+    (the reference-parity RandomSampler) saves nothing on TPU — the
+    capacity itself must shrink.  A 4× stride on a ~30k-point submap
+    leaves ~8k matches for a 6-DoF trimmed estimate (the reference's PM
+    pipeline similarly subsamples its reading, icp_pointmatcher.cc:171)."""
+    c = cloud.compact()
+    import dataclasses as _dc
+    return _dc.replace(
+        c, xyz=c.xyz[::stride], intensity=c.intensity[::stride],
+        factor=c.factor[::stride], mask=c.mask[::stride])
 
 
-def _pair_match_batch(sources, targets, guesses, leaf_size: int, tile: int):
-    """B submap-pair registrations with ONE host sync: dispatch the jitted
-    per-pair program for every pair back-to-back (async — XLA queues them
-    on device) and only then read the results.  This is the reference's
-    thread-pool SubmapPairMatch queue (map_builder.cc:705-709) re-expressed
-    as device-queue parallelism (SURVEY §2.9 P2).  (A vmapped version —
-    possible since ops/nn_search.py grew a batch-gridded kernel — would
-    add a whole extra compile of the fused normals+ICP program per batch
-    shape; async queuing gets the same latency amortization with zero
-    extra compiles.)"""
-    outs = [_pair_match(s, t, jnp.asarray(g, dtype=jnp.float32),
-                        leaf_size=leaf_size, tile=tile)
-            for s, t, g in zip(sources, targets, guesses)]
-    Ts = jnp.stack([o[0] for o in outs])
-    scores = jnp.stack([o[1] for o in outs])
-    return Ts, scores
+@jax.jit
+def _pack_pair_outs(outs):
+    """Stack per-pair (T, score) results into two arrays so the host reads
+    them back in one transfer instead of 2B round trips."""
+    return (jnp.stack([T for T, _ in outs]),
+            jnp.stack([s for _, s in outs]))
+
+
+@partial(jax.jit, static_argnames=("leaf_size",))
+def _batch_normals(cloud_tuple, leaf_size: int):
+    """Normal estimation for B submap clouds in ONE vmapped dispatch —
+    the sort cascade inside ``estimate_normals`` is the most expensive
+    per-submap program, so new submaps get their target normals computed
+    together at flush time and cached on the ``Submap``
+    (:meth:`~staticmapping_tpu.builder.frame.Submap.normal_cloud`).
+    Takes and returns TUPLES of per-submap clouds (stack and unstack both
+    happen inside this jit: eager per-leaf stacking/slicing would cost one
+    remote-tunnel dispatch per leaf per submap)."""
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cloud_tuple)
+    ncs = jax.vmap(
+        lambda c: estimate_normals(c.compact(), leaf_size=leaf_size)
+    )(stacked)
+    b = len(cloud_tuple)
+    return tuple(jax.tree.map(lambda x, k=k: x[k], ncs) for k in range(b))
 
 
 @dataclasses.dataclass
@@ -78,6 +94,12 @@ class MapBuilderOptions:
     output_kitti_pose: bool = True
     output_mrvm: bool = True
     output_direct_combined_map: bool = True
+    # piecewise direct map export: close and restart the combined/MRVM maps
+    # every `separate_step` submaps, writing part_map_<k>.pcd /
+    # static_part_map_<k>.pcd (whole_options, map_builder.h:104-109,
+    # SaveMaps cc:857-891)
+    separate_output: bool = False
+    separate_step: int = 200
     save_map_package: bool = False
     mrvm_settings: MrvmSettings = dataclasses.field(
         default_factory=MrvmSettings)
@@ -87,6 +109,9 @@ class MapBuilderOptions:
     # back_end submap matcher (registrators/interface.h:61)
     submap_matcher_accepted_min_score: float = 0.7
     submap_matcher_leaf_size: int = 8
+    # source subsampling stride for pair matches (1 = reference-exact full
+    # cloud; see _stride_sample — capacity must stay a multiple of 128)
+    submap_matcher_source_stride: int = 4
     enable_submap_pair_match: bool = True
     # P1 pipeline layer (builder/pipeline.py): device-resident front end,
     # one dispatch per `pipeline_chunk` scans instead of per scan
@@ -153,6 +178,65 @@ class MapBuilder:
         self.tracking_to_imu = np.eye(4)
         self.tracking_to_odom = np.eye(4)
         self.tracking_to_gps = np.eye(4)
+        # live visualization observers (SetShow{Map,Submap,Path,Edge}
+        # Function, map_builder.h:139-162; the reference's ROS publishers
+        # hang off these — here any host callable can)
+        self._show_map_fn = None
+        self._show_submap_fn = None
+        self._show_path_fn = None
+        self._show_edge_fn = None
+        self.show_map_every = 10      # submaps between whole-map callbacks
+
+    # ----------------------------------------------- observer callbacks --
+    # SetShow*Function parity (map_builder.h:139-162).  Callbacks fire on
+    # the host after each completed submap reaches the back end (the
+    # reference fires them from the ConnectAllSubmap daemon,
+    # map_builder.cc:495-557).
+    def set_show_map_function(self, fn) -> None:
+        """fn(points [N, 4]) — the current optimized map, every
+        ``show_map_every`` submaps and at finish."""
+        self._show_map_fn = fn
+
+    def set_show_submap_function(self, fn) -> None:
+        """fn(points [N, 4]) — the newest submap cloud (submap frame)."""
+        self._show_submap_fn = fn
+
+    def set_show_path_function(self, fn) -> None:
+        """fn(poses: List[np [4, 4]]) — current submap poses."""
+        self._show_path_fn = fn
+
+    def set_show_edge_function(self, fn) -> None:
+        """fn(edges: List[(i, j)]) — current pose-graph edges."""
+        self._show_edge_fn = fn
+
+    def _notify_observers(self, submap, final: bool = False) -> None:
+        if self._show_submap_fn is not None and submap is not None \
+                and submap.cloud is not None:
+            from ..data import cloud as cloud_lib
+            self._show_submap_fn(cloud_lib.to_numpy(submap.cloud))
+        if self._show_path_fn is not None:
+            self._show_path_fn([s.global_pose for s in self.trajectory])
+        if self._show_edge_fn is not None:
+            if self.backend is not None and hasattr(self.backend,
+                                                    "view_graph"):
+                vg = self.backend.view_graph
+                edges = [(a, b) for a, lst in vg.edges.items()
+                         for b, _ in lst]
+            else:
+                edges = []
+            self._show_edge_fn(edges)
+        if self._show_map_fn is not None and (
+                final or (len(self.trajectory) % self.show_map_every == 0)):
+            import jax.numpy as jnp
+            from ..data import cloud as cloud_lib
+            parts = []
+            for s in self.trajectory:
+                if s.cloud is None:
+                    continue
+                parts.append(cloud_lib.to_numpy(s.cloud.transform(
+                    jnp.asarray(s.global_pose, dtype=jnp.float32))))
+            if parts:
+                self._show_map_fn(np.vstack(parts))
 
     # ------------------------------------------------- extrinsic setters --
     def set_tracking_to_lidar(self, T: np.ndarray):
@@ -227,6 +311,11 @@ class MapBuilder:
     def _insert_frame(self, frame: Frame) -> None:
         """InsertFrameForSubmap + SubmapProcessing merge step
         (map_builder.cc:221-229, 662-709)."""
+        from ..common import prof
+        with prof.block("SubmapInsert"):
+            self._insert_frame_inner(frame)
+
+    def _insert_frame_inner(self, frame: Frame) -> None:
         if self._current_submap is None or self._current_submap.full:
             self._current_submap = Submap(
                 self._next_submap_id, self.options.submap,
@@ -261,13 +350,14 @@ class MapBuilder:
                 if self.backend is not None:
                     self.backend.add_submap(self.trajectory,
                                             self._current_submap)
+                self._notify_observers(self._current_submap)
 
     def _flush_pair_matches(self) -> None:
-        """Resolve the deferred pair-match queue with ONE host sync — the
-        per-pair programs are dispatched back-to-back and read together
-        (see ``_pair_match_batch``; P2 batching, SubmapPairMatch semantics
-        map_builder.cc:399-446) — then feed the queued submaps to the back
-        end in order."""
+        """Resolve the deferred pair-match queue with TWO device dispatches
+        — one vmapped normal-estimation program for the new submaps, one
+        vmapped registration over the pair batch — and one host sync (P2
+        batching, SubmapPairMatch semantics map_builder.cc:399-446); then
+        feed the queued submaps to the back end in order."""
         from ..common import prof
         queued = self._pending_submaps
         self._pending_submaps = []
@@ -277,20 +367,46 @@ class MapBuilder:
                  if self.options.enable_submap_pair_match and s.id > 0]
         if pairs:
             with prof.block("SubmapPairMatchBatch"):
-                sources = tuple(s.cloud for s in pairs)
-                targets = tuple(self.trajectory[s.id - 1].cloud
-                                for s in pairs)
-                guesses = np.stack([
+                leaf = self.options.submap_matcher_leaf_size
+                target_subs = [self.trajectory[s.id - 1] for s in pairs]
+                # batch-fill missing target normals (one vmapped dispatch)
+                missing = [t for t in target_subs
+                           if t._normals is None or t._normals_leaf != leaf]
+                if missing:
+                    # pad the batch to the configured size so the vmapped
+                    # program compiles for ONE shape, not per flush count
+                    pad = (-len(missing)) % max(
+                        self.options.pair_match_batch, 1)
+                    clouds = tuple([t.cloud for t in missing]
+                                   + [missing[-1].cloud] * pad)
+                    ncs = _batch_normals(clouds, leaf)
+                    for t, nc in zip(missing, ncs):
+                        t.set_normal_cloud(nc, leaf)
+                guesses = [
                     np_se3.inverse(
                         self.trajectory[s.id - 1].frames[0].global_pose)
-                    @ s.frames[0].global_pose for s in pairs
-                ]).astype(np.float32)
-                Ts, scores = _pair_match_batch(
-                    sources, targets, guesses,
-                    leaf_size=self.options.submap_matcher_leaf_size,
+                    @ s.frames[0].global_pose for s in pairs]
+                # alignment: per-pair async dispatches read together with
+                # ONE sync (SubmapPairMatch queue, map_builder.cc:705-709
+                # / SURVEY §2.9 P2).  Deliberately NOT vmapped: a batched
+                # ``while_loop`` runs every pair to the slowest pair's
+                # iteration count (~3x the device work, measured 25 vs 58
+                # scans/s end-to-end); independent dispatches converge
+                # individually and still overlap in the device queue.
+                stride = self.options.submap_matcher_source_stride
+                outs = [align_point_to_plane(
+                    _stride_sample(s.cloud, stride) if stride > 1
+                    else s.cloud,
+                    t.normal_cloud(leaf),
+                    jnp.asarray(g, dtype=jnp.float32),
                     tile=self.options.front_end.nn_tile)
-                Ts = np.asarray(Ts, dtype=np.float64)
-                scores = np.asarray(scores, dtype=np.float64)
+                    for s, t, g in zip(pairs, target_subs, guesses)]
+                # ONE packed readback for the whole batch: each eager
+                # np.asarray costs a ~4 ms tunnel round trip, so reading
+                # 2B small results separately would burn ~B·8 ms per flush
+                Ts_d, scores_d = _pack_pair_outs(tuple(outs))
+                Ts = np.asarray(Ts_d, dtype=np.float64)
+                scores = np.asarray(scores_d, dtype=np.float64)
             for k, s in enumerate(pairs):
                 target = self.trajectory[s.id - 1]
                 s.match_score_to_previous = float(scores[k])
@@ -304,6 +420,8 @@ class MapBuilder:
         if self.backend is not None:
             for s in queued:
                 self.backend.add_submap(self.trajectory, s)
+        for s in queued:
+            self._notify_observers(s)
 
     def _submap_pair_match(self, source_index: int, target_index: int) -> None:
         """SubmapPairMatch parity (map_builder.cc:399-446): register submap
@@ -319,10 +437,14 @@ class MapBuilder:
         target = self.trajectory[target_index]
         guess = np_se3.inverse(target.frames[0].global_pose) @ \
             source.frames[0].global_pose
-        T, score = _pair_match(
-            source.cloud, target.cloud,
+        target_nc = target.normal_cloud(
+            self.options.submap_matcher_leaf_size)
+        stride = self.options.submap_matcher_source_stride
+        src = _stride_sample(source.cloud, stride) if stride > 1 \
+            else source.cloud
+        T, score = align_point_to_plane(
+            src, target_nc,
             jnp.asarray(guess, dtype=jnp.float32),
-            leaf_size=self.options.submap_matcher_leaf_size,
             tile=self.options.front_end.nn_tile)
         score = float(score)
         source.match_score_to_previous = score
@@ -374,6 +496,7 @@ class MapBuilder:
                 and getattr(self.backend.options, "output_graph_pic", False)
                 and hasattr(self.backend, "save_view_graph")):
             self.backend.save_view_graph(out_dir)
+        self._notify_observers(None, final=True)
 
     def _calculate_coord_transform_to_gps(self) -> None:
         """CalculateCoordTransformToGps parity (map_builder.cc:748-762):
@@ -415,14 +538,27 @@ class MapBuilder:
                 np.column_stack([odom_path,
                                  np.zeros(len(odom_path))]))
 
+    def _write_static(self, path: str, mrvm) -> None:
+        pts = mrvm.output_to_numpy()
+        if self.options.mrvm_settings.output_rgb:
+            # grayscale rgb from intensity (OutputToPointCloud cc:187-209)
+            pcd_io.write_pcd_rgb(path, pts[:, :3], pts[:, 3])
+        else:
+            pcd_io.write_pcd(path, pts)
+
     def _save_maps(self, out_dir: str) -> None:
         """SaveMaps parity (map_builder.cc:825-911): transform every
         submap's cloud to its final global pose; ray-cast into the MRVM for
-        the static map; optionally also write the direct combined map."""
+        the static map; optionally also write the direct combined map.
+        With ``separate_output``, the combined/MRVM maps are flushed and
+        restarted every ``separate_step`` submaps (cc:857-891) so huge maps
+        never need to fit memory at once."""
         import jax.numpy as jnp
-        mrvm = MultiResolutionVoxelMap(self.options.mrvm_settings) \
-            if self.options.output_mrvm else None
+        opts = self.options
+        mrvm = MultiResolutionVoxelMap(opts.mrvm_settings) \
+            if opts.output_mrvm else None
         combined = []
+        n_submaps = len(self.trajectory)
         for s in self.trajectory:
             if s.cloud is None:
                 continue
@@ -430,15 +566,31 @@ class MapBuilder:
                 jnp.asarray(s.global_pose, dtype=jnp.float32))
             if mrvm is not None:
                 mrvm.insert_point_cloud(global_cloud, s.global_pose[:3, 3])
-            if self.options.output_direct_combined_map:
+            if opts.output_direct_combined_map:
                 combined.append(np.asarray(
                     np.column_stack([
                         np.asarray(global_cloud.xyz)[np.asarray(global_cloud.mask)],
                         np.asarray(global_cloud.intensity)[np.asarray(global_cloud.mask)],
                     ])))
+            if opts.separate_output and (
+                    s.id == n_submaps - 1
+                    or (s.id + 1) % opts.separate_step == 0):
+                part = s.id // opts.separate_step
+                if opts.output_direct_combined_map and combined:
+                    pcd_io.write_pcd(
+                        os.path.join(out_dir, f"part_map_{part}.pcd"),
+                        np.vstack(combined))
+                    combined = []
+                if mrvm is not None and mrvm.num_voxels:
+                    self._write_static(
+                        os.path.join(out_dir,
+                                     f"static_part_map_{part}.pcd"), mrvm)
+                    mrvm = MultiResolutionVoxelMap(opts.mrvm_settings)
+        if opts.separate_output:
+            return
         if mrvm is not None and mrvm.num_voxels:
-            pcd_io.write_pcd(os.path.join(out_dir, "static_map.pcd"),
-                             mrvm.output_to_numpy())
+            self._write_static(os.path.join(out_dir, "static_map.pcd"),
+                               mrvm)
         if combined:
             pcd_io.write_pcd(os.path.join(out_dir, "whole_map.pcd"),
                              np.vstack(combined))

@@ -48,6 +48,9 @@ class MrvmSettings:
 
     output_average: bool = False
     use_max_intensity: bool = True
+    # write the static map as XYZRGB with r=g=b=intensity (grayscale) —
+    # multi_resolution_voxel_map.h:57, OutputToPointCloud cc:187-209, 233
+    output_rgb: bool = False
     prob_threshold: float = 0.6
     high_resolution: float = 0.1
     hit_prob: float = 0.55

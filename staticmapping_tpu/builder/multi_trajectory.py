@@ -134,22 +134,21 @@ class MultiTrajectoryMapBuilder:
 
         accepted = []
         if cands:
-            from ..builder.map_builder import _pair_match_batch
+            from ..parallel.align_pairs import align_pair_list
             sources, targets, guesses = [], [], []
             for (a, ia, b, ib) in cands:
                 sa = self.trajectories[a][ia]
                 sb = self.trajectories[b][ib]
-                # register b's submap onto a's (a = target/base frame)
+                # register b's submap onto a's (a = target/base frame);
+                # target normals come from the submap's cache
+                # (builder/frame.py Submap.normal_cloud)
                 sources.append(sb.cloud)
-                targets.append(sa.cloud)
+                targets.append(sa.normal_cloud(opts.normal_leaf_size))
                 guesses.append(
                     np_se3.inverse(sa.global_pose) @ sb.global_pose)
-            Ts, scores = _pair_match_batch(
-                sources, targets,
-                np.stack(guesses).astype(np.float32),
-                leaf_size=opts.normal_leaf_size, tile=opts.nn_tile)
-            Ts = np.asarray(Ts, dtype=np.float64)
-            scores = np.asarray(scores, dtype=np.float64)
+            Ts_l, scores_l = align_pair_list(sources, targets, guesses)
+            Ts = np.stack(Ts_l)
+            scores = np.asarray(scores_l, dtype=np.float64)
             for k, (a, ia, b, ib) in enumerate(cands):
                 if scores[k] >= opts.accept_match_score:
                     accepted.append((a, ia, b, ib,

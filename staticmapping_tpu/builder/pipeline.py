@@ -162,7 +162,7 @@ class DeviceFrontEnd:
 
     def __init__(self, options: FrontEndOptions = None,
                  filter_chain: Optional[Callable] = None,
-                 chunk_size: int = 16):
+                 chunk_size: int = 16, queue_depth: int = 2):
         self.options = options or FrontEndOptions()
         self.chunk_size = chunk_size
         self.filter_chain = filter_chain
@@ -172,18 +172,31 @@ class DeviceFrontEnd:
                            if filter_chain is not None else None)
         self.base = np.eye(4)            # f64 global pose of the device frame
         self.state: Optional[_FeState] = None
-        self._rebase_inv = np.eye(4, dtype=np.float32)
         self._base_stamp = 0.0           # absolute stamp of chunk frame
         self.num_scans = 0
         self.last_score = 1.0
         self._buf: List[Tuple[float, np.ndarray]] = []
+        # deferred-harvest queue: dispatched chunks whose outputs have not
+        # been read back yet.  Depth 2 = double buffering: while the device
+        # crunches chunk k the host packs and dispatches chunk k+1, and only
+        # then blocks on chunk k's tiny outputs.  The inter-chunk rebase
+        # runs ON DEVICE (from the state's own prev_pose) so dispatching
+        # chunk k+1 needs no host value from chunk k; the host still
+        # composes the global base in f64 at harvest time.
+        self.queue_depth = max(1, queue_depth)
+        self._inflight: List[tuple] = []   # (stamps_abs, poses, scores, kf, sources)
 
     # ------------------------------------------------------------------
-    def _chunk_fn(self, state: _FeState, rebase_inv, stamps, xyz, inten,
-                  mask, valid):
+    def _chunk_fn(self, state: _FeState, stamps, xyz, inten, mask, valid):
+        # device-side rebase into the frame of the newest pose: keeps all
+        # chunk-local coordinates small so f32 never sees absolute drift.
+        # (B is at most one chunk of motion away from the previous rebase,
+        # so the f32 inverse costs ~1e-5 m; the f64 global base on the host
+        # absorbs the long-horizon accumulation at harvest time.)
+        rebase_inv = se3.inverse(se3.normalize_rotation(state.prev_pose))
         state = state._replace(
             pose_target=rebase_inv @ state.pose_target,
-            prev_pose=rebase_inv @ state.prev_pose,
+            prev_pose=jnp.eye(4, dtype=jnp.float32),
             # vel_lin is a chunk-frame vector — rotate it into the new
             # chunk frame (vel_ang is body-relative, frame-invariant)
             vel_lin=rebase_inv[:3, :3] @ state.vel_lin)
@@ -232,19 +245,28 @@ class DeviceFrontEnd:
         self._buf.append((stamp, points))
         if len(self._buf) < self.chunk_size:
             return []
-        return self._run_buffered()
+        return self._dispatch_and_maybe_harvest()
 
     def flush(self) -> List[Frame]:
-        if not self._buf or self.state is None:
-            return []
-        return self._run_buffered()
+        frames: List[Frame] = []
+        if self._buf and self.state is not None:
+            self._dispatch_buffered()
+        while self._inflight:
+            frames.extend(self._harvest_one())
+        return frames
 
     # ------------------------------------------------------------------
-    def _run_buffered(self) -> List[Frame]:
+    def _dispatch_and_maybe_harvest(self) -> List[Frame]:
         with prof.block("FrontEndChunk"):
-            return self._run_buffered_inner()
+            self._dispatch_buffered()
+            frames: List[Frame] = []
+            while len(self._inflight) >= self.queue_depth:
+                frames.extend(self._harvest_one())
+            return frames
 
-    def _run_buffered_inner(self) -> List[Frame]:
+    def _dispatch_buffered(self) -> None:
+        """Pack + dispatch the buffered scans; returns immediately (JAX
+        async dispatch) — outputs are read in :meth:`_harvest_one`."""
         K = self.chunk_size
         cap = self.options.scan_capacity
         stamps = np.zeros((K,), dtype=np.float32)
@@ -261,12 +283,18 @@ class DeviceFrontEnd:
         self._buf = []
 
         new_state, (poses, scores, kf, sources) = self._run_chunk(
-            self.state, jnp.asarray(self._rebase_inv),
-            jnp.asarray(stamps), jnp.asarray(xyz), jnp.asarray(inten),
-            jnp.asarray(mask), jnp.asarray(valid))
+            self.state, jnp.asarray(stamps), jnp.asarray(xyz),
+            jnp.asarray(inten), jnp.asarray(mask), jnp.asarray(valid))
         self.state = new_state
+        self._inflight.append((stamps_abs, valid, poses, scores, kf,
+                               sources))
 
-        # ---- one host sync for the tiny outputs ----
+    def _harvest_one(self) -> List[Frame]:
+        """Block on the OLDEST in-flight chunk's tiny outputs and build its
+        keyframes; compose the f64 global base from its final pose."""
+        stamps_abs, valid, poses, scores, kf, sources = \
+            self._inflight.pop(0)
+        K = self.chunk_size
         poses_h = np.asarray(poses, dtype=np.float64)
         scores_h = np.asarray(scores, dtype=np.float64)
         kf_h = np.asarray(kf)
@@ -289,9 +317,9 @@ class DeviceFrontEnd:
                         self.base @ poses_h[i]),
                     match_score=float(scores_h[i])))
 
-        # ---- rebase: f64 on host, folded into the next chunk dispatch --
+        # ---- global base: f64 on host (the device already rebased its own
+        # state to this chunk's final pose at the NEXT chunk's start) ----
         last = int(np.nonzero(np.asarray(valid))[0][-1])
         B = np_se3.normalize_rotation(poses_h[last])
         self.base = np_se3.normalize_rotation(self.base @ B)
-        self._rebase_inv = np_se3.inverse(B).astype(np.float32)
         return frames

@@ -170,11 +170,15 @@ def load_config(source: Optional[str] = None) -> PipelineConfig:
     mb.output_mrvm = _attr(whole, "output_mrvm", bool, mb.output_mrvm)
     mb.output_kitti_pose = _attr(whole, "output_kitti_pose", bool,
                                  mb.output_kitti_pose)
+    mb.separate_output = _attr(whole, "separate_output", bool,
+                               mb.separate_output)
+    mb.separate_step = _attr(whole, "separate_step", int, mb.separate_step)
 
     # output_mrvm_settings (map_builder_options.cc:144-168)
     mrvm = sm.find("output_mrvm_settings")
     ms: MrvmSettings = mb.mrvm_settings
     ms.output_average = _attr(mrvm, "output_average", bool, ms.output_average)
+    ms.output_rgb = _attr(mrvm, "output_rgb", bool, ms.output_rgb)
     ms.use_max_intensity = _attr(mrvm, "use_max_intensity", bool,
                                  ms.use_max_intensity)
     ms.prob_threshold = _attr(mrvm, "prob_threshold", float,

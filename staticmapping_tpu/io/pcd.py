@@ -33,6 +33,39 @@ def write_pcd(path: str, points: np.ndarray) -> None:
         f.write(np.ascontiguousarray(pts).tobytes())
 
 
+_HEADER_RGB = """# .PCD v0.7 - Point Cloud Data file format
+VERSION 0.7
+FIELDS x y z rgb
+SIZE 4 4 4 4
+TYPE F F F U
+COUNT 1 1 1 1
+WIDTH {n}
+HEIGHT 1
+VIEWPOINT 0 0 0 1 0 0 0
+POINTS {n}
+DATA binary
+"""
+
+
+def write_pcd_rgb(path: str, xyz: np.ndarray, rgb: np.ndarray) -> None:
+    """XYZRGB PCD (pcl::PointXYZRGB layout: rgb packed 0x00RRGGBB into one
+    32-bit field) — the ``output_rgb`` map format
+    (multi_resolution_voxel_map.cc:204-209, 233)."""
+    xyz = np.asarray(xyz, dtype=np.float32)
+    rgb = np.asarray(rgb)
+    if rgb.ndim == 1:                      # grayscale → replicate
+        rgb = np.repeat(rgb[:, None], 3, axis=1)
+    rgb = np.clip(rgb, 0, 255).astype(np.uint32)
+    packed = ((rgb[:, 0] << 16) | (rgb[:, 1] << 8)
+              | rgb[:, 2]).astype(np.uint32)
+    rec = np.empty((xyz.shape[0], 4), dtype=np.float32)
+    rec[:, :3] = xyz
+    rec[:, 3] = packed.view(np.float32)
+    with open(path, "wb") as f:
+        f.write(_HEADER_RGB.format(n=rec.shape[0]).encode())
+        f.write(np.ascontiguousarray(rec).tobytes())
+
+
 def read_pcd(path: str) -> np.ndarray:
     """Read a binary or ascii PCD with x y z [intensity] f32 fields."""
     with open(path, "rb") as f:

@@ -34,6 +34,14 @@ from ..data.cloud import PointCloud, NormalCloud
 from ..registration.icp_fast import align_point_to_plane
 
 
+@jax.jit
+def _stack_clouds(sources, targets):
+    """Per-leaf stacking fused into ONE dispatch (eager jnp.stack per leaf
+    costs a remote-tunnel round trip each)."""
+    return (jax.tree.map(lambda *xs: jnp.stack(xs), *sources),
+            jax.tree.map(lambda *xs: jnp.stack(xs), *targets))
+
+
 def stack_pairs(sources: Sequence[PointCloud],
                 targets: Sequence[NormalCloud],
                 guesses: Sequence[np.ndarray]):
@@ -43,9 +51,9 @@ def stack_pairs(sources: Sequence[PointCloud],
     Returns ``(batch_src, batch_tgt, batch_guess [B,4,4])``.
     """
     assert len(sources) == len(targets) == len(guesses) > 0
-    batch_src = jax.tree.map(lambda *xs: jnp.stack(xs), *sources)
-    batch_tgt = jax.tree.map(lambda *xs: jnp.stack(xs), *targets)
-    gs = jnp.stack([jnp.asarray(g, dtype=jnp.float32) for g in guesses])
+    batch_src, batch_tgt = _stack_clouds(tuple(sources), tuple(targets))
+    gs = jnp.asarray(np.stack([np.asarray(g) for g in guesses]),
+                     dtype=jnp.float32)
     return batch_src, batch_tgt, gs
 
 
@@ -146,23 +154,39 @@ def align_pair_list(sources: Sequence[PointCloud],
                     mesh: Optional[Mesh] = None,
                     dist_outlier_ratio: float = 0.7,
                     max_iteration: int = 100,
-                    exact_quantile: bool = False
+                    exact_quantile: bool = False,
+                    pad_to: Optional[int] = None
                     ) -> Tuple[List[np.ndarray], List[float]]:
     """Convenience host API: list of pairs in → host transforms/scores out.
 
     Uses the sharded path when ``mesh`` spans >1 device, plain vmap
     otherwise.  This is what the loop detector and submap-pair matcher call.
+
+    ``pad_to`` rounds the batch axis up to a multiple of that value by
+    repeating the last pair, so callers with a varying pair count (loop
+    candidates arrive 1..K at a time) hit ONE compiled shape instead of
+    one compile per distinct batch size — each such compile is tens of
+    seconds through the remote-TPU tunnel.
     """
+    real = len(guesses)
+    # pad by repeating the last pair BEFORE stacking — list repetition is
+    # free, while padding stacked device arrays (pad_pairs) costs eager
+    # concat dispatches
+    multiple = mesh.devices.size if (mesh is not None
+                                     and mesh.devices.size > 1) else pad_to
+    if multiple is not None and multiple > 1:
+        pad = (-real) % multiple
+        if pad:
+            sources = list(sources) + [sources[-1]] * pad
+            targets = list(targets) + [targets[-1]] * pad
+            guesses = list(guesses) + [guesses[-1]] * pad
     batch_src, batch_tgt, gs = stack_pairs(sources, targets, guesses)
     if mesh is not None and mesh.devices.size > 1:
-        batch_src, batch_tgt, gs, real = pad_pairs(
-            batch_src, batch_tgt, gs, mesh.devices.size)
         Ts, scores, _ = align_pairs_sharded(
             batch_src, batch_tgt, gs, mesh,
             dist_outlier_ratio=dist_outlier_ratio,
             max_iteration=max_iteration, exact_quantile=exact_quantile)
     else:
-        real = gs.shape[0]
         Ts, scores = align_pairs(
             batch_src, batch_tgt, gs,
             dist_outlier_ratio=dist_outlier_ratio,

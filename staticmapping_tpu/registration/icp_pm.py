@@ -30,9 +30,15 @@ from ..ops.normals import estimate_normals
 from .icp_fast import align_point_to_plane
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("keep_prob",))
 def _hash_thin(cloud: PointCloud, keep_prob: float) -> PointCloud:
     """Deterministic ~keep_prob thinning by integer hash of the point index
-    (RandomSamplingDataPointsFilter role, prob=0.9)."""
+    (RandomSamplingDataPointsFilter role, prob=0.9).  Jitted: callers hit
+    this per loop candidate, and eager ops over a remote-TPU tunnel cost a
+    dispatch each."""
     n = cloud.capacity
     idx = jnp.arange(n, dtype=jnp.uint32)
     h = idx * jnp.uint32(2654435761)

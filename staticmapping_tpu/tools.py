@@ -5,6 +5,7 @@ tools/CMakeLists.txt:1-14) as subcommands:
     python -m staticmapping_tpu.tools path_statistic PATH_FILE
     python -m staticmapping_tpu.tools bin_to_pcd   IN.bin OUT.pcd
     python -m staticmapping_tpu.tools pcd_sampler  IN.pcd OUT.pcd --rate R
+    python -m staticmapping_tpu.tools pcd_to_las   IN.pcd OUT.las
 
 * join_pieces: merge a map-package pieces dir (center-relative part pcds +
   XML descriptor, builder/map_package.cc:210-230) back into one global
@@ -14,6 +15,8 @@ tools/CMakeLists.txt:1-14) as subcommands:
 * bin_to_pcd: KITTI velodyne .bin → pcd (tools/bin_viewer.cc role, minus
   the GUI).
 * pcd_sampler: random downsample of a pcd (tools/pcd_sampler.cc role).
+* pcd_to_las: pcd → LAS 1.2 (tools/pcd_to_las.cc role; direct-header
+  writer, no libLAS — io/las.py).
 """
 from __future__ import annotations
 
@@ -101,6 +104,15 @@ def pcd_sampler(in_path: str, out_path: str, rate: float,
     return 0
 
 
+def pcd_to_las(in_path: str, out_path: str, scale: float = 0.001) -> int:
+    from .io import las as las_io
+    from .io import pcd as pcd_io
+    pts = pcd_io.read_pcd(in_path)
+    las_io.write_las(out_path, pts, scale=scale)
+    print(f"{len(pts)} points -> {out_path}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="staticmapping_tpu.tools")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -118,6 +130,10 @@ def main(argv=None) -> int:
     r.add_argument("out")
     r.add_argument("--rate", type=float, default=0.5)
     r.add_argument("--seed", type=int, default=0)
+    l = sub.add_parser("pcd_to_las")
+    l.add_argument("infile")
+    l.add_argument("out")
+    l.add_argument("--scale", type=float, default=0.001)
     a = p.parse_args(argv)
     if a.cmd == "join_pieces":
         return join_pieces(a.pieces_dir, a.out, a.descriptor)
@@ -127,6 +143,8 @@ def main(argv=None) -> int:
         return bin_to_pcd(a.infile, a.out)
     if a.cmd == "pcd_sampler":
         return pcd_sampler(a.infile, a.out, a.rate, a.seed)
+    if a.cmd == "pcd_to_las":
+        return pcd_to_las(a.infile, a.out, a.scale)
     return 2
 
 
