@@ -116,8 +116,10 @@ def main(argv=None) -> int:
             cfg.map_builder.submap_matcher_accepted_min_score = 0.45
             if not args.no_backend and mb.backend is not None and \
                     hasattr(mb.backend, "loop_detector"):
-                mb.backend.loop_detector.settings.accept_scan_match_score \
-                    = 0.40
+                lds = mb.backend.loop_detector.settings
+                lds.accept_scan_match_score = 0.30
+                # sparse-world z drift exceeds the planar-KITTI z gate
+                lds.max_close_loop_z_distance = 3.0
         scans, gt_poses = synthetic.make_sequence(
             n_scans=args.scans, trajectory=traj, seed=7)
         n_total = len(scans)

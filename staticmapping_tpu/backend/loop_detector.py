@@ -150,6 +150,21 @@ class LoopDetector:
             if closest_index >= 0 and (closest_index, current) not in maybe_pairs:
                 maybe_pairs.append((closest_index, current))
 
+        import os as _os
+        _dbg = _os.environ.get("STATICMAPPING_LOOP_DEBUG")
+        if _dbg and (loop_detection or in_dist.size
+                     or (_dbg == "2" and cand.size)):
+            import sys as _sys
+            extra = ""
+            if _dbg == "2" and cand.size:
+                xy_all = np.linalg.norm(trans[cand, :2] - cur[:2], axis=1)
+                k = int(np.argmin(xy_all))
+                extra = (f" minxy={xy_all[k]:.1f}@{int(cand[k])}"
+                         f" dz={abs(trans[cand[k], 2] - cur[2]):.2f}")
+            print(f"[loop] submap {current}: in_dist={in_dist.tolist()} "
+                  f"well_matched={well_matched.tolist()} "
+                  f"state={self.status.name}{extra}",
+                  file=_sys.stderr, flush=True)
         self._advance_state_machine(loop_detection)
         result.status = self.status
 

@@ -114,6 +114,17 @@ class IncrementalOptimizer:
             self.view_graph.add_edge(idx - 1, idx, T_prev_cur)
             # chain the global pose from the matched transform
             # (ConnectAllSubmap, map_builder.cc:484-489)
+            import os as _os
+            if _os.environ.get("STATICMAPPING_LOOP_DEBUG") == "2":
+                import sys as _sys
+                fe_t = submap.global_pose[:3, 3]
+                ch = np_se3.normalize_rotation(
+                    prev.global_pose @ T_prev_cur)[:3, 3]
+                print(f"[chain] submap {idx}: fe={fe_t.round(1)} "
+                      f"chained={ch.round(1)} "
+                      f"|T|={np.linalg.norm(T_prev_cur[:3,3]):.2f} "
+                      f"score={submap.match_score_to_previous:.2f}",
+                      file=_sys.stderr, flush=True)
             submap.global_pose = np_se3.normalize_rotation(
                 prev.global_pose @ T_prev_cur)
             self.view_graph.add_vertex(idx, submap.global_pose)
