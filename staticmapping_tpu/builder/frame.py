@@ -186,6 +186,12 @@ class Submap:
         if not self._on_disk and not self.save_to_disk():
             return False
         self._cloud = None
+        # drop cached normals with the cloud: they are a full-capacity
+        # device-resident NormalCloud (~1 MB each) and would otherwise
+        # accumulate unbounded across offloaded submaps, defeating the
+        # MemoryManager (normal_cloud() recomputes on demand after reload)
+        self._normals = None
+        self._normals_leaf = -1
         return True
 
     def _load_from_disk(self) -> None:

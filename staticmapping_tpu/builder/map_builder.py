@@ -560,18 +560,21 @@ class MapBuilder:
         combined = []
         n_submaps = len(self.trajectory)
         for s in self.trajectory:
-            if s.cloud is None:
-                continue
-            global_cloud = s.cloud.transform(
-                jnp.asarray(s.global_pose, dtype=jnp.float32))
-            if mrvm is not None:
-                mrvm.insert_point_cloud(global_cloud, s.global_pose[:3, 3])
-            if opts.output_direct_combined_map:
-                combined.append(np.asarray(
-                    np.column_stack([
-                        np.asarray(global_cloud.xyz)[np.asarray(global_cloud.mask)],
-                        np.asarray(global_cloud.intensity)[np.asarray(global_cloud.mask)],
-                    ])))
+            if s.cloud is not None:
+                global_cloud = s.cloud.transform(
+                    jnp.asarray(s.global_pose, dtype=jnp.float32))
+                if mrvm is not None:
+                    mrvm.insert_point_cloud(global_cloud,
+                                            s.global_pose[:3, 3])
+                if opts.output_direct_combined_map:
+                    combined.append(np.asarray(
+                        np.column_stack([
+                            np.asarray(global_cloud.xyz)[np.asarray(global_cloud.mask)],
+                            np.asarray(global_cloud.intensity)[np.asarray(global_cloud.mask)],
+                        ])))
+            # flush on the part boundary even when this submap's cloud is
+            # missing (offloaded/empty): the boundary otherwise merges
+            # into the next part and the tail part may never be written
             if opts.separate_output and (
                     s.id == n_submaps - 1
                     or (s.id + 1) % opts.separate_step == 0):

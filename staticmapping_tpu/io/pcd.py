@@ -52,8 +52,15 @@ def write_pcd_rgb(path: str, xyz: np.ndarray, rgb: np.ndarray) -> None:
     32-bit field) — the ``output_rgb`` map format
     (multi_resolution_voxel_map.cc:204-209, 233)."""
     xyz = np.asarray(xyz, dtype=np.float32)
-    rgb = np.asarray(rgb)
+    rgb = np.asarray(rgb, dtype=np.float32)
     if rgb.ndim == 1:                      # grayscale → replicate
+        # sensors with normalized 0..1 intensity (and the synthetic world)
+        # would clip to a near-black 0/1 — rescale those to 0..255 first
+        if rgb.size and np.nanmax(rgb) <= 1.0:
+            rgb = rgb * 255.0
+        # reference boosts intensity ×1.4 then clamps before packing
+        # (multi_resolution_voxel_map.cc:181-186)
+        rgb = rgb * 1.4
         rgb = np.repeat(rgb[:, None], 3, axis=1)
     rgb = np.clip(rgb, 0, 255).astype(np.uint32)
     packed = ((rgb[:, 0] << 16) | (rgb[:, 1] << 8)

@@ -172,8 +172,13 @@ def align_pair_list(sources: Sequence[PointCloud],
     # pad by repeating the last pair BEFORE stacking — list repetition is
     # free, while padding stacked device arrays (pad_pairs) costs eager
     # concat dispatches
-    multiple = mesh.devices.size if (mesh is not None
-                                     and mesh.devices.size > 1) else pad_to
+    if mesh is not None and mesh.devices.size > 1:
+        # honour pad_to on meshes too (fixed batch shape = no recompiles),
+        # rounded up so the shard axis still divides evenly
+        d = mesh.devices.size
+        multiple = d if pad_to is None else -(-pad_to // d) * d
+    else:
+        multiple = pad_to
     if multiple is not None and multiple > 1:
         pad = (-real) % multiple
         if pad:

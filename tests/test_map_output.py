@@ -115,6 +115,15 @@ def test_output_rgb(tmp_path):
     with open(path, "rb") as f:
         header = f.read(200).decode(errors="replace")
     assert "FIELDS x y z rgb" in header
+    # packed colors must not be near-black: 0..1 intensities are rescaled
+    # to 0..255 and boosted x1.4 (multi_resolution_voxel_map.cc:181-186)
+    rec = pcd_io.read_pcd(path)
+    packed = np.ascontiguousarray(rec[:, 3]).view(np.uint32)
+    grey = (packed >> 16) & 0xFF
+    assert grey.max() > 8, f"RGB map is near-black (max={grey.max()})"
+    # r == g == b (grayscale-from-intensity)
+    assert np.array_equal(grey, (packed >> 8) & 0xFF)
+    assert np.array_equal(grey, packed & 0xFF)
 
 
 def test_separate_output(tmp_path):

@@ -26,7 +26,8 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.timeout(600)
+# (no pytest-timeout in this image — the communicate(timeout=540) below is
+# the real guard against a hung worker)
 def test_two_process_multihost():
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     port = _free_port()
