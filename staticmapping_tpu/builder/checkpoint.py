@@ -33,6 +33,10 @@ from .map_package import (MapPackageOptions, load_trajectory,
 def save_checkpoint(mb, out_dir: str) -> str:
     """Serialize a MapBuilder mid-run.  Returns the checkpoint dir."""
     os.makedirs(out_dir, exist_ok=True)
+    # settle deferred P2 state (queued merges / in-flight pair matches) so
+    # the snapshot is consistent
+    if hasattr(mb, "_flush_pair_matches"):
+        mb._flush_pair_matches(drain=True)
     # ---- trajectory (full submaps only) ----
     full = [s for s in mb.trajectory if s.full]
     from .frame import Trajectory

@@ -20,6 +20,32 @@ from ..data.cloud import PointCloud, concat as cloud_concat
 from ..ops import voxel as voxel_ops
 
 
+def _merge_body(xyz, intensity, factor, mask, local_poses, capacity: int,
+                voxel_size, voxel_mode):
+    """Single-submap merge on stacked arrays ``[F, N, ...]`` + poses
+    ``[F, 4, 4]`` → merged PointCloud of ``capacity``."""
+    pts = se3.apply(local_poses, xyz)     # [F, N, 3], T broadcast over N
+    flat = PointCloud(
+        xyz=pts.reshape(-1, 3),
+        intensity=intensity.reshape(-1),
+        factor=factor.reshape(-1),
+        mask=mask.reshape(-1),
+    )
+    if flat.capacity > capacity:
+        # only when truncating does valid-first order matter — compact is
+        # a full sort cascade, skip it when everything fits
+        flat = flat.compact()
+    merged = PointCloud(
+        xyz=flat.xyz[:capacity],
+        intensity=flat.intensity[:capacity],
+        factor=flat.factor[:capacity],
+        mask=flat.mask[:capacity])
+    if voxel_mode is not None:
+        merged = voxel_ops.voxel_downsample(merged, voxel_size,
+                                            mode=voxel_mode)
+    return merged
+
+
 @partial(jax.jit, static_argnames=("capacity", "voxel_mode"))
 def _merge_frames(clouds, local_poses, capacity: int, voxel_size,
                   voxel_mode):
@@ -30,26 +56,41 @@ def _merge_frames(clouds, local_poses, capacity: int, voxel_size,
     clouds: tuple of per-frame ``PointCloud``s (stacked inside the jit so
     the host loop issues no eager ops), local_poses [F, 4, 4];
     ``voxel_mode`` None disables the voxel filter."""
-    xyz = jnp.stack([c.xyz for c in clouds])
-    intensity = jnp.stack([c.intensity for c in clouds])
-    factor = jnp.stack([c.factor for c in clouds])
-    mask = jnp.stack([c.mask for c in clouds])
-    pts = se3.apply(local_poses, xyz)     # [F, N, 3], T broadcast over N
-    flat = PointCloud(
-        xyz=pts.reshape(-1, 3),
-        intensity=intensity.reshape(-1),
-        factor=factor.reshape(-1),
-        mask=mask.reshape(-1),
-    ).compact()
-    merged = PointCloud(
-        xyz=flat.xyz[:capacity],
-        intensity=flat.intensity[:capacity],
-        factor=flat.factor[:capacity],
-        mask=flat.mask[:capacity])
-    if voxel_mode is not None:
-        merged = voxel_ops.voxel_downsample(merged, voxel_size,
-                                            mode=voxel_mode)
-    return merged
+    return _merge_body(
+        jnp.stack([c.xyz for c in clouds]),
+        jnp.stack([c.intensity for c in clouds]),
+        jnp.stack([c.factor for c in clouds]),
+        jnp.stack([c.mask for c in clouds]),
+        local_poses, capacity, voxel_size, voxel_mode)
+
+
+@partial(jax.jit, static_argnames=("n_frames", "capacity", "voxel_mode"))
+def _batch_merge_frames(clouds_flat, local_poses, n_frames: int,
+                        capacity: int, voxel_size, voxel_mode):
+    """Merge S submaps of ``n_frames`` frames each in ONE vmapped dispatch
+    (the per-submap ``_merge_frames`` dispatch costs ~5-7 ms through the
+    remote-TPU tunnel — ×16 per flush that was the single biggest
+    non-front-end block, r05 breakdown).
+
+    clouds_flat: tuple of S·F per-frame ``PointCloud``s in submap-major
+    order; local_poses ``[S, F, 4, 4]``.  Returns a TUPLE of S merged
+    ``PointCloud``s — the unstack happens inside this jit (eager per-leaf
+    slicing would cost one tunnel dispatch per leaf per submap)."""
+    def stack(leaves):
+        s = jnp.stack(leaves)                        # [S*F, N, ...]
+        return s.reshape((-1, n_frames) + s.shape[1:])
+
+    xyz = stack([c.xyz for c in clouds_flat])
+    intensity = stack([c.intensity for c in clouds_flat])
+    factor = stack([c.factor for c in clouds_flat])
+    mask = stack([c.mask for c in clouds_flat])
+    merged = jax.vmap(
+        lambda x, i, f, m, p: _merge_body(x, i, f, m, p, capacity,
+                                          voxel_size, voxel_mode)
+    )(xyz, intensity, factor, mask, local_poses)
+    s_count = len(clouds_flat) // n_frames
+    return tuple(jax.tree.map(lambda x, k=k: x[k], merged)
+                 for k in range(s_count))
 
 
 @dataclasses.dataclass
@@ -120,6 +161,10 @@ class Submap:
         # expensive per-submap device program)
         self._normals = None
         self._normals_leaf: int = -1
+        # P2 batching: when True, _finalize leaves the merge to the
+        # orchestrator's batched flush (_batch_merge_frames) instead of
+        # dispatching one _merge_frames program per submap
+        self.defer_merge = False
 
     # ---------------------------------------------------- normal cache --
     def normal_cloud(self, leaf_size: int):
@@ -254,6 +299,8 @@ class Submap:
                     merged, self.options.voxel_size, mode="round")
             self.cloud = merged
             return
+        if self.defer_merge:
+            return   # batched flush installs the cloud (install_merged_cloud)
         poses = np.stack([f.local_pose for f in self.frames]
                          ).astype(np.float32)
         self.cloud = _merge_frames(
@@ -261,6 +308,10 @@ class Submap:
             capacity=self.capacity,
             voxel_size=np.float32(self.options.voxel_size),
             voxel_mode="round" if self.options.enable_voxel_filter else None)
+
+    def install_merged_cloud(self, pc: PointCloud) -> None:
+        """Install the batch-merged cloud (deferred-merge path)."""
+        self._cloud = pc
 
     def update_inner_frame_poses(self) -> None:
         """Submap::UpdateInnerFramePose parity (submap.cc:268-274): after

@@ -52,6 +52,31 @@ def _stride_sample(cloud, stride: int):
         factor=c.factor[::stride], mask=c.mask[::stride])
 
 
+@partial(jax.jit, static_argnames=("stride", "n_iters", "tile"))
+def _batch_pair_align(sources, targets, guesses, stride: int, n_iters: int,
+                      tile: int, dist_outlier_ratio: float = 0.7):
+    """Submap-pair registration batch in ONE device dispatch: stride-sample
+    every source, stack, and run a vmapped FIXED-TRIP point-to-plane ICP
+    (SubmapPairMatch queue, map_builder.cc:705-709 / SURVEY §2.9 P2).
+
+    The fixed-iteration scan (``fixed_iterations``) is what makes the vmap
+    profitable: a vmapped ``while_loop`` runs every pair to the slowest
+    pair's trip count, whereas this is exactly ``B × n_iters`` with
+    converged pairs frozen — and one dispatch replaces B serial ~5 ms
+    kernel launches through the remote-TPU tunnel."""
+    if stride > 1:
+        # plain slot stride: submap clouds are voxel-compacted (or
+        # frame-blocked), so every ``stride``-th slot subsamples the valid
+        # points uniformly without paying a compact() sort per source
+        sources = tuple(jax.tree.map(lambda x: x[::stride], s)
+                        for s in sources)
+    batch_src = jax.tree.map(lambda *xs: jnp.stack(xs), *sources)
+    batch_tgt = jax.tree.map(lambda *xs: jnp.stack(xs), *targets)
+    return jax.vmap(lambda s, t, g: align_point_to_plane(
+        s, t, g, dist_outlier_ratio=dist_outlier_ratio, tile=tile,
+        fixed_iterations=n_iters))(batch_src, batch_tgt, guesses)
+
+
 @jax.jit
 def _pack_pair_outs(outs):
     """Stack per-pair (T, score) results into two arrays so the host reads
@@ -120,6 +145,9 @@ class MapBuilderOptions:
     # P2 batching: defer submap-pair matches and run them `pair_match_batch`
     # at a time in one vmapped dispatch (1 = match synchronously per submap)
     pair_match_batch: int = 1
+    # fixed ICP trip count for the batched pair matches (vmap-friendly;
+    # odometry-guessed pairs converge in ~5-8 iterations, frozen after)
+    pair_match_fixed_iterations: int = 10
 
 
 class MapBuilder:
@@ -164,6 +192,7 @@ class MapBuilder:
         self._current_submap: Optional[Submap] = None
         self._next_submap_id = 0
         self._pending_submaps: List[Submap] = []   # deferred P2 queue
+        self._pair_results_inflight: List[tuple] = []  # dispatched batches
         # memory bounding (memory_manager.cc:51-62)
         self._submap_dir = None
         self.memory_manager: Optional[MemoryManager] = None
@@ -321,6 +350,10 @@ class MapBuilder:
                 self._next_submap_id, self.options.submap,
                 capacity=self.options.submap_capacity,
                 save_dir=self._submap_dir)
+            if (self.options.pair_match_batch > 1
+                    and not self.options.submap.enable_inner_mrvm):
+                # P2: merge in one batched dispatch at flush time
+                self._current_submap.defer_merge = True
             self._next_submap_id += 1
             self.trajectory.append(self._current_submap)
         if self.memory_manager is not None:
@@ -352,61 +385,107 @@ class MapBuilder:
                                             self._current_submap)
                 self._notify_observers(self._current_submap)
 
-    def _flush_pair_matches(self) -> None:
-        """Resolve the deferred pair-match queue with TWO device dispatches
-        — one vmapped normal-estimation program for the new submaps, one
-        vmapped registration over the pair batch — and one host sync (P2
-        batching, SubmapPairMatch semantics map_builder.cc:399-446); then
-        feed the queued submaps to the back end in order."""
+    def _flush_pair_matches(self, drain: bool = False) -> None:
+        """Resolve the deferred pair-match queue with THREE device
+        dispatches — one vmapped merge for the queued submaps, one vmapped
+        normal-estimation program, one packed registration batch — and NO
+        host sync (P2 batching, SubmapPairMatch semantics
+        map_builder.cc:399-446).  The results are read back one flush
+        cycle LATER (:meth:`_consume_pair_results`) so the device crunches
+        this flush's programs while the host stages the next front-end
+        chunk; ``drain=True`` (finish) consumes everything now."""
         from ..common import prof
         queued = self._pending_submaps
         self._pending_submaps = []
-        if not queued:
-            return
-        pairs = [s for s in queued
-                 if self.options.enable_submap_pair_match and s.id > 0]
-        if pairs:
+        if queued:
+            pairs = [s for s in queued
+                     if self.options.enable_submap_pair_match and s.id > 0]
+            record = (queued, [], [], None, None)
             with prof.block("SubmapPairMatchBatch"):
-                leaf = self.options.submap_matcher_leaf_size
-                target_subs = [self.trajectory[s.id - 1] for s in pairs]
-                # batch-fill missing target normals (one vmapped dispatch)
-                missing = [t for t in target_subs
-                           if t._normals is None or t._normals_leaf != leaf]
-                if missing:
-                    # pad the batch to the configured size so the vmapped
-                    # program compiles for ONE shape, not per flush count
-                    pad = (-len(missing)) % max(
+                self._batch_finalize(queued)
+                if pairs:
+                    leaf = self.options.submap_matcher_leaf_size
+                    target_subs = [self.trajectory[s.id - 1] for s in pairs]
+                    # batch-fill missing target normals (one vmapped
+                    # dispatch)
+                    missing = [t for t in target_subs
+                               if t._normals is None
+                               or t._normals_leaf != leaf]
+                    if missing:
+                        # pad the batch to the configured size so the
+                        # vmapped program compiles for ONE shape, not one
+                        # per flush count
+                        pad = (-len(missing)) % max(
+                            self.options.pair_match_batch, 1)
+                        clouds = tuple([t.cloud for t in missing]
+                                       + [missing[-1].cloud] * pad)
+                        ncs = _batch_normals(clouds, leaf)
+                        for t, nc in zip(missing, ncs):
+                            t.set_normal_cloud(nc, leaf)
+                    guesses = [
+                        np_se3.inverse(
+                            self.trajectory[s.id - 1].frames[0].global_pose)
+                        @ s.frames[0].global_pose for s in pairs]
+                    # one batched fixed-trip registration dispatch; pad to
+                    # the configured batch so it compiles for ONE shape
+                    stride = self.options.submap_matcher_source_stride
+                    pad = (-len(pairs)) % max(
                         self.options.pair_match_batch, 1)
-                    clouds = tuple([t.cloud for t in missing]
-                                   + [missing[-1].cloud] * pad)
-                    ncs = _batch_normals(clouds, leaf)
-                    for t, nc in zip(missing, ncs):
-                        t.set_normal_cloud(nc, leaf)
-                guesses = [
-                    np_se3.inverse(
-                        self.trajectory[s.id - 1].frames[0].global_pose)
-                    @ s.frames[0].global_pose for s in pairs]
-                # alignment: per-pair async dispatches read together with
-                # ONE sync (SubmapPairMatch queue, map_builder.cc:705-709
-                # / SURVEY §2.9 P2).  Deliberately NOT vmapped: a batched
-                # ``while_loop`` runs every pair to the slowest pair's
-                # iteration count (~3x the device work, measured 25 vs 58
-                # scans/s end-to-end); independent dispatches converge
-                # individually and still overlap in the device queue.
-                stride = self.options.submap_matcher_source_stride
-                outs = [align_point_to_plane(
-                    _stride_sample(s.cloud, stride) if stride > 1
-                    else s.cloud,
-                    t.normal_cloud(leaf),
-                    jnp.asarray(g, dtype=jnp.float32),
-                    tile=self.options.front_end.nn_tile)
-                    for s, t, g in zip(pairs, target_subs, guesses)]
-                # ONE packed readback for the whole batch: each eager
-                # np.asarray costs a ~4 ms tunnel round trip, so reading
-                # 2B small results separately would burn ~B·8 ms per flush
-                Ts_d, scores_d = _pack_pair_outs(tuple(outs))
-                Ts = np.asarray(Ts_d, dtype=np.float64)
-                scores = np.asarray(scores_d, dtype=np.float64)
+                    srcs = tuple([s.cloud for s in pairs]
+                                 + [pairs[-1].cloud] * pad)
+                    tgts = tuple([t.normal_cloud(leaf)
+                                  for t in target_subs]
+                                 + [target_subs[-1].normal_cloud(leaf)] * pad)
+                    gs = jnp.asarray(
+                        np.stack(guesses
+                                 + [guesses[-1]] * pad).astype(np.float32))
+                    Ts_d, scores_d = _batch_pair_align(
+                        srcs, tgts, gs, stride=stride,
+                        n_iters=self.options.pair_match_fixed_iterations,
+                        tile=self.options.front_end.nn_tile)
+                    record = (queued, pairs, guesses, Ts_d, scores_d)
+            self._pair_results_inflight.append(record)
+        # one record stays in flight during the insert loop; drain at finish
+        keep = 0 if drain else 1
+        while len(self._pair_results_inflight) > keep:
+            self._consume_pair_results()
+
+    def _batch_finalize(self, queued: List[Submap]) -> None:
+        """Merge the queued submaps' frames in ONE vmapped device dispatch
+        (deferred ``Submap._finalize``; submap.cc:98-162 semantics)."""
+        from .frame import _batch_merge_frames
+        todo = [s for s in queued
+                if s.defer_merge and s.cloud is None and s.frames]
+        if not todo:
+            return
+        counts = {len(s.frames) for s in todo}
+        if len(counts) != 1:
+            # ragged tail (end of stream): per-submap merges
+            for s in todo:
+                s.defer_merge = False
+                s._finalize()
+            return
+        F = counts.pop()
+        poses = np.stack([np.stack([f.local_pose for f in s.frames])
+                          for s in todo]).astype(np.float32)
+        clouds_flat = tuple(f.cloud for s in todo for f in s.frames)
+        opts = self.options.submap
+        merged = _batch_merge_frames(
+            clouds_flat, poses, n_frames=F,
+            capacity=self.options.submap_capacity,
+            voxel_size=np.float32(opts.voxel_size),
+            voxel_mode="round" if opts.enable_voxel_filter else None)
+        for s, pc in zip(todo, merged):
+            s.install_merged_cloud(pc)
+
+    def _consume_pair_results(self) -> None:
+        """Read back the oldest in-flight pair-match batch and feed its
+        submaps to the back end / observers (order preserved)."""
+        queued, pairs, guesses, Ts_d, scores_d = \
+            self._pair_results_inflight.pop(0)
+        if pairs:
+            Ts = np.asarray(Ts_d, dtype=np.float64)
+            scores = np.asarray(scores_d, dtype=np.float64)
             for k, s in enumerate(pairs):
                 target = self.trajectory[s.id - 1]
                 s.match_score_to_previous = float(scores[k])
@@ -462,7 +541,7 @@ class MapBuilder:
         if hasattr(self.front_end, "flush"):
             for f in self.front_end.flush():
                 self._insert_frame(f)
-        self._flush_pair_matches()
+        self._flush_pair_matches(drain=True)
         if self.backend is not None:
             self.backend.run_final_optimization(self.trajectory)
             for s in self.trajectory:

@@ -30,6 +30,7 @@ mirrors map_builder.cc:260-397), with documented deviations:
 """
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 from typing import Callable, List, NamedTuple, Optional, Tuple
 
@@ -43,6 +44,53 @@ from ..ops.normals import estimate_normals
 from ..registration.icp_fast import align_point_to_plane
 from .frame import Frame
 from .frontend import FrontEndOptions, _target_normals
+
+
+# ---------------------------------------------------------------------------
+# Host→device scan packing.  The remote-TPU tunnel moves data at only
+# ~40-60 MB/s with ~50 ms per-transfer latency (measured r05), so shipping a
+# chunk as separate f32 xyz/intensity/mask arrays (~10.5 MB, 5 calls) costs
+# more than the whole chunk's device compute.  Scans are therefore packed on
+# the host into ONE int16 array of 8 bytes/point — xyz quantized at 1/256 m
+# (±128 m range, 4 mm resolution: below LiDAR noise), intensity at 1/64 —
+# plus one tiny f32 meta row per scan, and dequantized inside the chunk jit.
+# A 1-worker stage thread runs the pack + transfer so H2D overlaps the
+# previous chunk's device program.
+# ---------------------------------------------------------------------------
+_QXYZ = 256.0     # 1/256 m xyz resolution, ±127.9 m range
+_QINT = 64.0      # 1/64 intensity resolution, ±511 range
+
+
+def _pack_chunk(buf, base_stamp: float, K: int, cap: int):
+    """[(stamp, points)] → (int16 [K, cap, 4], f32 [K, 4] meta).
+
+    meta rows: (chunk-relative stamp, n_valid, valid flag, 0)."""
+    q = np.zeros((K, cap, 4), dtype=np.int16)
+    meta = np.zeros((K, 4), dtype=np.float32)
+    for i, (st, pts) in enumerate(buf):
+        n = min(len(pts), cap)
+        q[i, :n, :3] = np.clip(np.round(pts[:n, :3] * _QXYZ),
+                               -32767, 32767)
+        if pts.shape[1] > 3:
+            q[i, :n, 3] = np.clip(np.round(pts[:n, 3] * _QINT),
+                                  -32767, 32767)
+        meta[i, 0] = st - base_stamp
+        meta[i, 1] = n
+        meta[i, 2] = 1.0
+    return q, meta
+
+
+def _unpack_chunk(qdata: jax.Array, meta: jax.Array):
+    """Device-side dequantize: int16 chunk → (stamps, xyz, inten, mask,
+    valid) in the layout the scan step consumes."""
+    cap = qdata.shape[1]
+    counts = meta[:, 1]
+    mask = (jnp.arange(cap, dtype=jnp.float32)[None, :]
+            < counts[:, None])                            # [K, cap]
+    xyz = qdata[..., :3].astype(jnp.float32) * (1.0 / _QXYZ)
+    xyz = jnp.where(mask[..., None], xyz, PAD_COORD)
+    inten = qdata[..., 3].astype(jnp.float32) * (1.0 / _QINT)
+    return meta[:, 0], xyz, inten, mask, meta[:, 2] > 0.0
 
 
 class _FeState(NamedTuple):
@@ -176,18 +224,26 @@ class DeviceFrontEnd:
         self.num_scans = 0
         self.last_score = 1.0
         self._buf: List[Tuple[float, np.ndarray]] = []
-        # deferred-harvest queue: dispatched chunks whose outputs have not
-        # been read back yet.  Depth 2 = double buffering: while the device
-        # crunches chunk k the host packs and dispatches chunk k+1, and only
-        # then blocks on chunk k's tiny outputs.  The inter-chunk rebase
-        # runs ON DEVICE (from the state's own prev_pose) so dispatching
-        # chunk k+1 needs no host value from chunk k; the host still
-        # composes the global base in f64 at harvest time.
+        # Three-stage pipeline:
+        #   _staged   — chunks whose pack+H2D runs on the stage thread; the
+        #               oldest is dispatched when the NEXT chunk fills, so
+        #               the transfer gets a full period to overlap device
+        #               compute (tunnel H2D ≈ chunk compute time)
+        #   _inflight — dispatched device programs awaiting harvest; depth
+        #               ``queue_depth`` = double buffering of outputs.
+        # The inter-chunk rebase runs ON DEVICE (from the state's own
+        # prev_pose) so dispatching chunk k+1 needs no host value from
+        # chunk k; the host still composes the global base in f64 at
+        # harvest time.
         self.queue_depth = max(1, queue_depth)
-        self._inflight: List[tuple] = []   # (stamps_abs, poses, scores, kf, sources)
+        self._inflight: List[tuple] = []   # (stamps_abs, valid, poses, scores, kf, sources)
+        self._staged: List[tuple] = []     # (stamps_abs, valid, future)
+        self._stage_pool = ThreadPoolExecutor(max_workers=1)
 
     # ------------------------------------------------------------------
-    def _chunk_fn(self, state: _FeState, stamps, xyz, inten, mask, valid):
+    def _chunk_fn(self, state: _FeState, qdata, meta):
+        # dequantize the packed int16 chunk on device (see _pack_chunk)
+        stamps, xyz, inten, mask, valid = _unpack_chunk(qdata, meta)
         # device-side rebase into the frame of the newest pose: keeps all
         # chunk-local coordinates small so f32 never sees absolute drift.
         # (B is at most one chunk of motion away from the previous rebase,
@@ -250,7 +306,8 @@ class DeviceFrontEnd:
     def flush(self) -> List[Frame]:
         frames: List[Frame] = []
         if self._buf and self.state is not None:
-            self._dispatch_buffered()
+            self._stage_buffered()
+        self._pump(force=True)
         while self._inflight:
             frames.extend(self._harvest_one())
         return frames
@@ -258,36 +315,46 @@ class DeviceFrontEnd:
     # ------------------------------------------------------------------
     def _dispatch_and_maybe_harvest(self) -> List[Frame]:
         with prof.block("FrontEndChunk"):
-            self._dispatch_buffered()
+            self._stage_buffered()
+            # dispatch the PREVIOUS staged chunk (its H2D had a full period
+            # to complete on the stage thread), keep the newest staging
+            self._pump(force=False)
             frames: List[Frame] = []
             while len(self._inflight) >= self.queue_depth:
                 frames.extend(self._harvest_one())
             return frames
 
-    def _dispatch_buffered(self) -> None:
-        """Pack + dispatch the buffered scans; returns immediately (JAX
-        async dispatch) — outputs are read in :meth:`_harvest_one`."""
+    def _stage_buffered(self) -> None:
+        """Hand the buffered scans to the stage thread: pack to int16 and
+        start the H2D transfer off the main thread."""
         K = self.chunk_size
         cap = self.options.scan_capacity
-        stamps = np.zeros((K,), dtype=np.float32)
-        xyz = np.full((K, cap, 3), PAD_COORD, dtype=np.float32)
-        inten = np.zeros((K, cap), dtype=np.float32)
-        mask = np.zeros((K, cap), dtype=bool)
-        valid = np.zeros((K,), dtype=bool)
-        for i, (st, pts) in enumerate(self._buf):
-            x, it, mk = self._pad_cloud(pts)
-            stamps[i] = st - self._base_stamp
-            xyz[i], inten[i], mask[i] = x, it, mk
-            valid[i] = True
-        stamps_abs = [st for st, _ in self._buf]
+        buf = self._buf
         self._buf = []
+        stamps_abs = [st for st, _ in buf]
+        valid = np.zeros((K,), dtype=bool)
+        valid[:len(buf)] = True
+        base = self._base_stamp
 
-        new_state, (poses, scores, kf, sources) = self._run_chunk(
-            self.state, jnp.asarray(stamps), jnp.asarray(xyz),
-            jnp.asarray(inten), jnp.asarray(mask), jnp.asarray(valid))
-        self.state = new_state
-        self._inflight.append((stamps_abs, valid, poses, scores, kf,
-                               sources))
+        def job():
+            q, meta = _pack_chunk(buf, base, K, cap)
+            return jnp.asarray(q), jnp.asarray(meta)
+
+        self._staged.append((stamps_abs, valid,
+                             self._stage_pool.submit(job)))
+
+    def _pump(self, force: bool) -> None:
+        """Dispatch staged chunks in order.  Leaves the newest one staging
+        unless ``force`` (flush) — dispatch consumes ``self.state`` so it
+        must happen on the main thread, in order."""
+        while self._staged and (force or len(self._staged) > 1):
+            stamps_abs, valid, fut = self._staged.pop(0)
+            qdata, meta = fut.result()
+            new_state, (poses, scores, kf, sources) = self._run_chunk(
+                self.state, qdata, meta)
+            self.state = new_state
+            self._inflight.append((stamps_abs, valid, poses, scores, kf,
+                                   sources))
 
     def _harvest_one(self) -> List[Frame]:
         """Block on the OLDEST in-flight chunk's tiny outputs and build its

@@ -38,6 +38,18 @@ _INF = jnp.inf
 _QC = 512
 _TC = 4096
 
+# The d² contraction runs as a MANUAL bf16x3: each augmented f32 operand
+# is split into bf16 hi + lo halves and stacked so one K=32 bf16 MXU pass
+# computes hi·hi + hi·lo + lo·hi (~1e-6 relative, the same decomposition
+# XLA uses for Precision.HIGH — which Mosaic does not support in-kernel).
+# Measured r05: the 6-pass HIGHEST matmul WAS the kernel hotspot (307 µs
+# vs 89 µs single-pass at 16384×2048); one K=32 pass costs the same as one
+# K=8 pass on the 128-deep MXU.  A plain single bf16 pass mis-picks 17%
+# of indices — unusable.  The ~0.1% picks this still flips vs exact f32
+# are near-ties; callers needing exact d² recompute it from the gathered
+# match (icp_fast does).
+_PRECISION = lax.Precision.DEFAULT
+
 
 def _use_pallas(m: int, n: int) -> bool:
     if jax.default_backend() != "tpu":
@@ -69,38 +81,59 @@ def _dist2_block(query: jax.Array, target_tile: jax.Array) -> jax.Array:
 def _nn_kernel(qc: int, tc: int, q_ref, t_ref, d_ref, i_ref):
     """1-NN of every query column in ``t_ref``.
 
-    q_ref: [8, M] query xyz (rows 3+ zero);  t_ref: [8, N] target xyz;
-    d_ref: [M/128, 128] best d²;  i_ref: same, int32 index.
-    Operands are TRANSPOSED ([8, N], coordinate axis in the sublanes): a
-    [N, 8] f32 VMEM block is tile-padded from 8 to 128 lanes (16× the
-    footprint — 32 MB at N=65536); [8, N] is dense.  Every ``[qc, tc]``
-    distance block lives only in VMEM.
+    q_ref: [32, M] bf16 AUGMENTED query (see ``_bf16x3_query``: hi/lo row
+    blocks of rows −2x −2y −2z |q|² 1);  t_ref: [32, N] bf16 (see
+    ``_bf16x3_target``);  d_ref: [M/128, 128] best d²;  i_ref: same,
+    int32 index.
+
+    The augmentation folds the ENTIRE d² = |q|² + |t|² − 2 q·t into ONE
+    MXU contraction (``qᵀ·t`` of the augmented operands IS d², computed
+    to bf16x3 accuracy in a single K=32 bf16 pass), and the min+argmin
+    collapse into one packed-key VPU reduction — together these removed
+    the two kernel hotspots of the r04 version (6-pass HIGHEST matmul,
+    separate d² assembly + two reductions).
+
+    Operands are TRANSPOSED ([32, N], point axis in the lanes): a [N, 32]
+    VMEM block would tile-pad the minor axis to 128 lanes (4× footprint);
+    [32, N] is dense.  Every ``[qc, tc]`` distance block lives only in
+    VMEM.
     """
     m = q_ref.shape[1]
     n = t_ref.shape[1]
     n_tc = n // tc
+    idx_bits = max((tc - 1).bit_length(), 1)
+    mask_low = (1 << idx_bits) - 1
 
     def qbody(c, _):
         q = q_ref[:, pl.ds(c * qc, qc)]                       # [8, qc]
-        q2 = jnp.sum(q * q, axis=0)[:, None]                  # [qc, 1]
 
         def tbody(t_i, carry):
-            bd, bi = carry
+            bk, bt = carry
             t = t_ref[:, pl.ds(t_i * tc, tc)]                 # [8, tc]
-            d2 = (q2 + jnp.sum(t * t, axis=0)[None, :]
-                  - 2.0 * lax.dot_general(
-                      q, t, (((0,), (0,)), ((), ())),
-                      preferred_element_type=jnp.float32,
-                      precision=lax.Precision.HIGHEST))       # [qc, tc]
-            d2 = jnp.maximum(d2, 0.0)
-            cd = jnp.min(d2, axis=1)
-            ci = jnp.argmin(d2, axis=1).astype(jnp.int32) + t_i * tc
-            take = cd < bd
-            return (jnp.where(take, cd, bd), jnp.where(take, ci, bi))
+            d2 = lax.dot_general(
+                q, t, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_PRECISION)                         # [qc, tc]
+            # pack (d², tile column) into ONE int32 sort key: non-negative
+            # f32 bit patterns order like their values, so min over keys
+            # does min + argmin in a single VPU reduction.  The low
+            # ``idx_bits`` carry the column; d² loses idx_bits mantissa
+            # bits (≤ 2^-12 relative — far below the matmul's own error).
+            # The best TILE index rides in a separate carry (tile offsets
+            # would not fit the low bits).
+            bits = lax.bitcast_convert_type(jnp.maximum(d2, 0.0),
+                                            jnp.int32)
+            col = lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+            key = jnp.min((bits & ~mask_low) | col, axis=1)
+            take = key < bk
+            return (jnp.where(take, key, bk),
+                    jnp.where(take, t_i, bt))
 
-        bd0 = jnp.full((qc,), _INF, dtype=jnp.float32)
-        bi0 = jnp.zeros((qc,), dtype=jnp.int32)
-        bd, bi = lax.fori_loop(0, n_tc, tbody, (bd0, bi0))
+        bk0 = jnp.full((qc,), 2**31 - 1, dtype=jnp.int32)
+        bt0 = jnp.zeros((qc,), dtype=jnp.int32)
+        bk, bt = lax.fori_loop(0, n_tc, tbody, (bk0, bt0))
+        bd = lax.bitcast_convert_type(bk & ~mask_low, jnp.float32)
+        bi = (bk & mask_low) + bt * tc
 
         r = qc // 128
         d_ref[pl.ds(c * r, r), :] = bd.reshape(r, 128)
@@ -147,33 +180,37 @@ _BTC = 2048
 def _nn_kernel_batched(qc: int, tc: int, q_ref, t_ref, d_ref, i_ref):
     """One (batch, query-chunk) grid step of batched 1-NN.
 
-    q_ref: [1, 8, qc]; t_ref: [1, 8, N] (transposed — see ``_nn_kernel``);
+    q_ref: [1, 32, qc]; t_ref: [1, 32, N] (bf16x3 AUGMENTED + transposed
+    — see ``_nn_kernel``: the contraction of the augmented operands IS
+    d²);
     d_ref/i_ref: [1, M//128, 128] (full query axis per batch element — the
     chunk writes only its own ``qc//128`` row slice, selected by the
     query-chunk program id).
     """
     n = t_ref.shape[2]
     n_tc = n // tc
+    idx_bits = max((tc - 1).bit_length(), 1)
+    mask_low = (1 << idx_bits) - 1
     q = q_ref[0]                                          # [8, qc]
-    q2 = jnp.sum(q * q, axis=0)[:, None]                  # [qc, 1]
 
     def tbody(t_i, carry):
-        bd, bi = carry
+        bk, bt = carry
         t = t_ref[0, :, pl.ds(t_i * tc, tc)]              # [8, tc]
-        d2 = (q2 + jnp.sum(t * t, axis=0)[None, :]
-              - 2.0 * lax.dot_general(
-                  q, t, (((0,), (0,)), ((), ())),
-                  preferred_element_type=jnp.float32,
-                  precision=lax.Precision.HIGHEST))       # [qc, tc]
-        d2 = jnp.maximum(d2, 0.0)
-        cd = jnp.min(d2, axis=1)
-        ci = jnp.argmin(d2, axis=1).astype(jnp.int32) + t_i * tc
-        take = cd < bd
-        return (jnp.where(take, cd, bd), jnp.where(take, ci, bi))
+        d2 = lax.dot_general(
+            q, t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_PRECISION)                         # [qc, tc]
+        bits = lax.bitcast_convert_type(jnp.maximum(d2, 0.0), jnp.int32)
+        col = lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        key = jnp.min((bits & ~mask_low) | col, axis=1)   # packed min+arg
+        take = key < bk
+        return (jnp.where(take, key, bk), jnp.where(take, t_i, bt))
 
-    bd0 = jnp.full((qc,), _INF, dtype=jnp.float32)
-    bi0 = jnp.zeros((qc,), dtype=jnp.int32)
-    bd, bi = lax.fori_loop(0, n_tc, tbody, (bd0, bi0))
+    bk0 = jnp.full((qc,), 2**31 - 1, dtype=jnp.int32)
+    bt0 = jnp.zeros((qc,), dtype=jnp.int32)
+    bk, bt = lax.fori_loop(0, n_tc, tbody, (bk0, bt0))
+    bd = lax.bitcast_convert_type(bk & ~mask_low, jnp.float32)
+    bi = (bk & mask_low) + bt * tc
     r = qc // 128
     qq = pl.program_id(1)
     d_ref[0, pl.ds(qq * r, r), :] = bd.reshape(r, 128)
@@ -182,8 +219,10 @@ def _nn_kernel_batched(qc: int, tc: int, q_ref, t_ref, d_ref, i_ref):
 
 @partial(jax.jit, static_argnames=("qc", "tc"))
 def _nearest_pallas_batched(query8t, target8t, qc: int, tc: int):
-    """[B, 8, M] × [B, 8, N] → ([B, M] d², [B, M] idx)."""
+    """[B, R, M] × [B, R, N] → ([B, M] d², [B, M] idx) — R operand rows
+    (32 for the bf16x3 layout)."""
     b, m = query8t.shape[0], query8t.shape[2]
+    rows = query8t.shape[1]
     n = target8t.shape[2]
     # batch outer / query-chunk inner: the target block index map only
     # changes with the batch coordinate, so Pallas re-fetches the 2 MB
@@ -192,8 +231,8 @@ def _nearest_pallas_batched(query8t, target8t, qc: int, tc: int):
         partial(_nn_kernel_batched, qc, tc),
         grid=(b, m // qc),
         in_specs=[
-            pl.BlockSpec((1, 8, qc), lambda bb, qq: (bb, 0, qq)),
-            pl.BlockSpec((1, 8, n), lambda bb, qq: (bb, 0, 0)),
+            pl.BlockSpec((1, rows, qc), lambda bb, qq: (bb, 0, qq)),
+            pl.BlockSpec((1, rows, n), lambda bb, qq: (bb, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, m // 128, 128), lambda bb, qq: (bb, 0, 0)),
@@ -238,6 +277,54 @@ def _pad8(x: jax.Array) -> jax.Array:
     """[N, 3] → [8, N] zero-padded + transposed: the coordinate axis goes
     to the sublanes so VMEM blocks are dense (see ``_nn_kernel``)."""
     return jnp.pad(x, ((0, 0), (0, 8 - x.shape[1]))).T
+
+
+def _aug_query8(q: jax.Array) -> jax.Array:
+    """[M, 3] → augmented [8, M] f32: rows −2x −2y −2z |q|² 1 0 0 0 so a
+    contraction against :func:`_aug_target8` yields d² directly off the
+    MXU."""
+    m = q.shape[0]
+    out = jnp.zeros((8, m), dtype=jnp.float32)
+    out = out.at[0:3].set(-2.0 * q.T)
+    out = out.at[3].set(jnp.sum(q * q, axis=1))
+    out = out.at[4].set(1.0)
+    return out
+
+
+def _aug_target8(t: jax.Array) -> jax.Array:
+    """[N, 3] → augmented [8, N] f32: rows x y z 1 |t|² 0 0 0."""
+    n = t.shape[0]
+    out = jnp.zeros((8, n), dtype=jnp.float32)
+    out = out.at[0:3].set(t.T)
+    out = out.at[3].set(1.0)
+    out = out.at[4].set(jnp.sum(t * t, axis=1))
+    return out
+
+
+def _bf16x3_query(q: jax.Array) -> jax.Array:
+    """Augmented query → [32, M] bf16 for the manual-bf16x3 contraction:
+    row blocks [hi, hi, lo, 0] pair with the target's [hi, lo, hi, 0] so a
+    single K=32 bf16 dot accumulates hi·hi + hi·lo + lo·hi in f32."""
+    a = _aug_query8(q)
+    # reduce_precision, NOT astype(bf16).astype(f32): XLA folds the
+    # f32→bf16→f32 convert pair to a no-op inside jit, zeroing the
+    # residual (classic gotcha — the whole split silently degrades to
+    # single-pass bf16)
+    hi_f32 = lax.reduce_precision(a, 8, 7)
+    hi = hi_f32.astype(jnp.bfloat16)
+    lo = (a - hi_f32).astype(jnp.bfloat16)
+    z = jnp.zeros_like(hi)
+    return jnp.concatenate([hi, hi, lo, z], axis=0)
+
+
+def _bf16x3_target(t: jax.Array) -> jax.Array:
+    """Augmented target → [32, N] bf16: row blocks [hi, lo, hi, 0]."""
+    a = _aug_target8(t)
+    hi_f32 = lax.reduce_precision(a, 8, 7)    # see _bf16x3_query
+    hi = hi_f32.astype(jnp.bfloat16)
+    lo = (a - hi_f32).astype(jnp.bfloat16)
+    z = jnp.zeros_like(hi)
+    return jnp.concatenate([hi, lo, hi, z], axis=0)
 
 
 def nearest_select(query: jax.Array, target: jax.Array,
@@ -301,7 +388,8 @@ def nearest_1(query: jax.Array, target: jax.Array, target_mask: jax.Array,
     if _use_pallas(m, n):
         qc = _pick_chunk(m, _QC)
         tc = _pick_chunk(n, _TC)
-        return _nearest_pallas_vmappable(qc, tc)(_pad8(query), _pad8(tgt))
+        return _nearest_pallas_vmappable(qc, tc)(_bf16x3_query(query),
+                                                 _bf16x3_target(tgt))
     return _nearest_scan(query, tgt, target_mask, tile=min(tile, n))
 
 

@@ -87,9 +87,12 @@ def voxel_downsample(cloud: PointCloud, voxel_size, mode: str = "round"
     valid = count > 0
     xyz = jnp.where(valid[:, None], mean[:, :3],
                     jnp.full((n, 3), PAD_COORD, dtype=jnp.float32))
-    out = PointCloud(xyz=xyz, intensity=mean[:, 3] * valid,
-                     factor=mean[:, 4] * valid, mask=valid)
-    return out.compact()
+    # already compacted: seg_id is a 0-based contiguous cumsum over the
+    # sorted order and every invalid point sorts to ONE trailing segment,
+    # so occupied-voxel slots are exactly 0..k-1 — a final compact() would
+    # be a redundant second sort cascade
+    return PointCloud(xyz=xyz, intensity=mean[:, 3] * valid,
+                      factor=mean[:, 4] * valid, mask=valid)
 
 
 @partial(jax.jit, static_argnames=("mode",))

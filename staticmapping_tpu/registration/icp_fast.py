@@ -61,7 +61,8 @@ def _solve6(A: jax.Array, b: jax.Array) -> jax.Array:
 
 @partial(jax.jit,
          static_argnames=("max_iteration", "tile", "compensation",
-                          "exact_quantile", "return_aux"))
+                          "exact_quantile", "return_aux",
+                          "fixed_iterations"))
 def align_point_to_plane(
     source: PointCloud,
     target: NormalCloud,
@@ -72,12 +73,21 @@ def align_point_to_plane(
     compensation: bool = False,
     exact_quantile: bool = False,
     return_aux: bool = False,
+    fixed_iterations: int = 0,
 ):
     """Align ``source`` onto ``target``; returns ``(T [4,4], score f32)``.
 
     ``T`` maps source-frame points into the target frame (same contract as
     ``IcpFast::Align`` result, icp_fast.cc:526-527:
     ``T = T_mean · T_iter · T_mean⁻¹ · guess``).
+
+    ``fixed_iterations > 0`` replaces the data-dependent ``while_loop``
+    with a ``lax.scan`` of exactly that many steps, freezing the state once
+    converged (same result as the while-loop whenever it converges within
+    the budget).  This is the vmap-friendly trip form: a vmapped
+    ``while_loop`` runs EVERY batch element to the slowest element's
+    iteration count (measured 2-3× the device work for submap-pair
+    batches), while a fixed-trip scan is exactly B × n_iters.
     """
     f32 = jnp.float32
     guess = guess.astype(f32)
@@ -112,9 +122,14 @@ def align_point_to_plane(
             step_pts = se3.apply(state.T_iter, src0)
 
         # step 1: correspondences (FindClosests, cc:169-180) with the
-        # matched point + normal fetched inside the kernel
-        d2, idx, sel = nn_search.nearest_select(step_pts, tgt_pts,
-                                                target.mask, tgt_payload)
+        # matched point + normal fetched inside the kernel.  The kernel's
+        # d² is bf16x3-approximate (selection-grade); recompute it exactly
+        # in f32 from the gathered match so the outlier quantile and the
+        # score stay reference-exact (trivial VPU work: [N, 3]).
+        _, idx, sel = nn_search.nearest_select(step_pts, tgt_pts,
+                                               target.mask, tgt_payload)
+        diff = step_pts - sel[:, :3]
+        d2 = jnp.sum(diff * diff, axis=1)
         d2 = jnp.where(src_mask, d2, jnp.inf)
 
         # step 2: trimmed outlier rejection (cc:496-498)
@@ -173,7 +188,20 @@ def align_point_to_plane(
     t0 = jnp.zeros((_RING, 3), dtype=f32)
     init = _IcpState(jnp.eye(4, dtype=f32), q0, t0,
                      jnp.int32(0), jnp.array(False), jnp.float32(0.0))
-    final = lax.while_loop(cond, body, init)
+    if fixed_iterations > 0:
+        def scan_body(state, _):
+            new = body(state)
+            # freeze once converged (parity with the while-loop exit)
+            frozen = jax.tree.map(
+                lambda o, n: jnp.where(
+                    jnp.reshape(state.converged, (1,) * n.ndim)
+                    if n.ndim else state.converged, o, n),
+                state, new)
+            return frozen, None
+        final, _ = lax.scan(scan_body, init, None,
+                            length=fixed_iterations)
+    else:
+        final = lax.while_loop(cond, body, init)
 
     result = T_mean @ final.T_iter @ T_init
     if return_aux:
