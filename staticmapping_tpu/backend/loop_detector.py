@@ -52,6 +52,12 @@ class LoopDetectorSettings:
     # TPU knobs
     normal_leaf_size: int = 8
     nn_tile: int = 1024
+    # fixed ICP trip count for the batched loop verifier: a vmapped
+    # while-loop would run the whole candidate batch to the slowest
+    # element's count (up to the PM Counter(150) budget); 40 fixed trips
+    # cover every converging loop registration (typ. < 20 even from
+    # drifted guesses) and unconverged candidates fail the score gate
+    fixed_iterations: int = 40
 
 
 @dataclasses.dataclass
@@ -270,9 +276,10 @@ class LoopDetector:
             dist_outlier_ratio=pm.dist_outlier_ratio,
             max_iteration=pm.max_iteration,
             # candidates arrive 1..nearest_history_pos_num+1 at a time —
-            # pad to one fixed batch shape so the 150-iteration program
-            # compiles once, not once per candidate count
-            pad_to=G * (s.nearest_history_pos_num + 1))
+            # pad to one fixed batch shape so the program compiles once,
+            # not once per candidate count
+            pad_to=G * (s.nearest_history_pos_num + 1),
+            fixed_iterations=s.fixed_iterations)
         import os as _os
         if _os.environ.get("STATICMAPPING_LOOP_DEBUG"):
             import sys as _sys

@@ -74,23 +74,29 @@ def pad_pairs(batch_src: PointCloud, batch_tgt: NormalCloud,
             rep(guesses), b)
 
 
-@partial(jax.jit, static_argnames=("max_iteration", "exact_quantile"))
+@partial(jax.jit, static_argnames=("max_iteration", "exact_quantile",
+                                   "fixed_iterations"))
 def align_pairs(batch_src: PointCloud, batch_tgt: NormalCloud,
                 guesses: jax.Array, dist_outlier_ratio: float = 0.7,
-                max_iteration: int = 100, exact_quantile: bool = False):
+                max_iteration: int = 100, exact_quantile: bool = False,
+                fixed_iterations: int = 0):
     """Register B independent pairs in one vmapped call.
 
     Args:
       batch_src: ``PointCloud`` with leading batch dim ``[B, N, ...]``.
       batch_tgt: ``NormalCloud`` with leading batch dim ``[B, M, ...]``.
       guesses: ``[B, 4, 4]`` initial transforms.
+      fixed_iterations: > 0 uses the fixed-trip ICP scan (converged pairs
+        freeze) instead of the vmapped while-loop, which would run EVERY
+        pair to the slowest pair's iteration count.
     Returns:
       ``(T [B, 4, 4], scores [B])``.
     """
     def one(s, t, g):
         return align_point_to_plane(
             s, t, g, dist_outlier_ratio=dist_outlier_ratio,
-            max_iteration=max_iteration, exact_quantile=exact_quantile)
+            max_iteration=max_iteration, exact_quantile=exact_quantile,
+            fixed_iterations=fixed_iterations)
 
     return jax.vmap(one)(batch_src, batch_tgt, guesses)
 
@@ -108,7 +114,8 @@ def align_pairs_sharded(batch_src: PointCloud, batch_tgt: NormalCloud,
                         dist_outlier_ratio: float = 0.7,
                         max_iteration: int = 100,
                         exact_quantile: bool = False,
-                        already_sharded: bool = False):
+                        already_sharded: bool = False,
+                        fixed_iterations: int = 0):
     """Shard the pair batch over ``mesh`` axis "submaps" and register all
     pairs in one jitted step.
 
@@ -126,7 +133,8 @@ def align_pairs_sharded(batch_src: PointCloud, batch_tgt: NormalCloud,
         def one(si, ti, gi):
             return align_point_to_plane(
                 si, ti, gi, dist_outlier_ratio=dist_outlier_ratio,
-                max_iteration=max_iteration, exact_quantile=exact_quantile)
+                max_iteration=max_iteration, exact_quantile=exact_quantile,
+                fixed_iterations=fixed_iterations)
 
         Ts, scores = jax.vmap(one)(s, t, g)
         mean_score = jax.lax.pmean(jnp.mean(scores), axis_name="submaps")
@@ -155,7 +163,8 @@ def align_pair_list(sources: Sequence[PointCloud],
                     dist_outlier_ratio: float = 0.7,
                     max_iteration: int = 100,
                     exact_quantile: bool = False,
-                    pad_to: Optional[int] = None
+                    pad_to: Optional[int] = None,
+                    fixed_iterations: int = 0
                     ) -> Tuple[List[np.ndarray], List[float]]:
     """Convenience host API: list of pairs in → host transforms/scores out.
 
@@ -190,12 +199,14 @@ def align_pair_list(sources: Sequence[PointCloud],
         Ts, scores, _ = align_pairs_sharded(
             batch_src, batch_tgt, gs, mesh,
             dist_outlier_ratio=dist_outlier_ratio,
-            max_iteration=max_iteration, exact_quantile=exact_quantile)
+            max_iteration=max_iteration, exact_quantile=exact_quantile,
+            fixed_iterations=fixed_iterations)
     else:
         Ts, scores = align_pairs(
             batch_src, batch_tgt, gs,
             dist_outlier_ratio=dist_outlier_ratio,
-            max_iteration=max_iteration, exact_quantile=exact_quantile)
+            max_iteration=max_iteration, exact_quantile=exact_quantile,
+            fixed_iterations=fixed_iterations)
     Ts = np.asarray(Ts, dtype=np.float64)[:real]
     scores = np.asarray(scores, dtype=np.float64)[:real]
     return [T for T in Ts], [float(s) for s in scores]
