@@ -73,7 +73,17 @@ def main(argv=None) -> int:
     from .io import kitti as kitti_io
     from .io import synthetic
 
-    cfg = config_lib.load_config(args.cfg)
+    cfg_path = args.cfg
+    if cfg_path is None and args.kitti is None:   # synthetic-world run
+        # the synthetic world ships its own config (density-normalized
+        # scores, sparse-world z gate) — config/synthetic.xml holds every
+        # world-specific knob in ONE place; an explicit --cfg wins
+        import os as _os
+        cand = _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), "config", "synthetic.xml")
+        if _os.path.exists(cand):
+            cfg_path = cand
+    cfg = config_lib.load_config(cfg_path)
     if args.out:
         cfg.map_builder.export_file_path = args.out
     if args.pipelined:
@@ -107,19 +117,6 @@ def main(argv=None) -> int:
                 yield i / args.rate, kitti_io.read_bin(f)
     else:
         traj = args.synthetic or "square"
-        if args.cfg is None:
-            # fitness scores are density-dependent; the synthetic world's
-            # sparse scans bottom out around 0.45-0.6 aligned, so the
-            # KITTI-calibrated 0.7/0.75 acceptance (lidar_only_kitti.xml)
-            # would reject every match.  Recalibrate the same knobs when
-            # no explicit config was given (an explicit --cfg wins).
-            cfg.map_builder.submap_matcher_accepted_min_score = 0.45
-            if not args.no_backend and mb.backend is not None and \
-                    hasattr(mb.backend, "loop_detector"):
-                lds = mb.backend.loop_detector.settings
-                lds.accept_scan_match_score = 0.30
-                # sparse-world z drift exceeds the planar-KITTI z gate
-                lds.max_close_loop_z_distance = 3.0
         scans, gt_poses = synthetic.make_sequence(
             n_scans=args.scans, trajectory=traj, seed=7)
         n_total = len(scans)

@@ -58,6 +58,8 @@ class LoopDetectorSettings:
     # cover every converging loop registration (typ. < 20 even from
     # drifted guesses) and unconverged candidates fail the score gate
     fixed_iterations: int = 40
+    # density normalization anchor (see icp_fast.target_spacing; 0 = raw)
+    score_spacing_ref: float = 0.0
 
 
 @dataclasses.dataclass
@@ -279,7 +281,8 @@ class LoopDetector:
             # pad to one fixed batch shape so the program compiles once,
             # not once per candidate count
             pad_to=G * (s.nearest_history_pos_num + 1),
-            fixed_iterations=s.fixed_iterations)
+            fixed_iterations=s.fixed_iterations,
+            score_spacing_ref=s.score_spacing_ref)
         import os as _os
         if _os.environ.get("STATICMAPPING_LOOP_DEBUG"):
             import sys as _sys

@@ -52,9 +52,11 @@ def _stride_sample(cloud, stride: int):
         factor=c.factor[::stride], mask=c.mask[::stride])
 
 
-@partial(jax.jit, static_argnames=("stride", "n_iters", "tile"))
+@partial(jax.jit, static_argnames=("stride", "n_iters", "tile",
+                                   "score_spacing_ref"))
 def _batch_pair_align(sources, targets, guesses, stride: int, n_iters: int,
-                      tile: int, dist_outlier_ratio: float = 0.7):
+                      tile: int, dist_outlier_ratio: float = 0.7,
+                      score_spacing_ref: float = 0.0):
     """Submap-pair registration batch in ONE device dispatch: stride-sample
     every source, stack, and run a vmapped FIXED-TRIP point-to-plane ICP
     (SubmapPairMatch queue, map_builder.cc:705-709 / SURVEY §2.9 P2).
@@ -74,7 +76,8 @@ def _batch_pair_align(sources, targets, guesses, stride: int, n_iters: int,
     batch_tgt = jax.tree.map(lambda *xs: jnp.stack(xs), *targets)
     return jax.vmap(lambda s, t, g: align_point_to_plane(
         s, t, g, dist_outlier_ratio=dist_outlier_ratio, tile=tile,
-        fixed_iterations=n_iters))(batch_src, batch_tgt, guesses)
+        fixed_iterations=n_iters,
+        score_spacing_ref=score_spacing_ref))(batch_src, batch_tgt, guesses)
 
 
 @jax.jit
@@ -148,6 +151,10 @@ class MapBuilderOptions:
     # fixed ICP trip count for the batched pair matches (vmap-friendly;
     # odometry-guessed pairs converge in ~5-8 iterations, frozen after)
     pair_match_fixed_iterations: int = 10
+    # density normalization anchor for acceptance scores (metres of target
+    # median NN spacing at which exp(-avg_dist) thresholds were
+    # calibrated; 0 = raw reference-exact score law, interface.h:61)
+    score_spacing_ref: float = 0.0
 
 
 class MapBuilder:
@@ -442,7 +449,8 @@ class MapBuilder:
                     Ts_d, scores_d = _batch_pair_align(
                         srcs, tgts, gs, stride=stride,
                         n_iters=self.options.pair_match_fixed_iterations,
-                        tile=self.options.front_end.nn_tile)
+                        tile=self.options.front_end.nn_tile,
+                        score_spacing_ref=self.options.score_spacing_ref)
                     record = (queued, pairs, guesses, Ts_d, scores_d)
             self._pair_results_inflight.append(record)
         # one record stays in flight during the insert loop; drain at finish
@@ -524,7 +532,8 @@ class MapBuilder:
         T, score = align_point_to_plane(
             src, target_nc,
             jnp.asarray(guess, dtype=jnp.float32),
-            tile=self.options.front_end.nn_tile)
+            tile=self.options.front_end.nn_tile,
+            score_spacing_ref=self.options.score_spacing_ref)
         score = float(score)
         source.match_score_to_previous = score
         if score >= self.options.submap_matcher_accepted_min_score:

@@ -75,11 +75,11 @@ def pad_pairs(batch_src: PointCloud, batch_tgt: NormalCloud,
 
 
 @partial(jax.jit, static_argnames=("max_iteration", "exact_quantile",
-                                   "fixed_iterations"))
+                                   "fixed_iterations", "score_spacing_ref"))
 def align_pairs(batch_src: PointCloud, batch_tgt: NormalCloud,
                 guesses: jax.Array, dist_outlier_ratio: float = 0.7,
                 max_iteration: int = 100, exact_quantile: bool = False,
-                fixed_iterations: int = 0):
+                fixed_iterations: int = 0, score_spacing_ref: float = 0.0):
     """Register B independent pairs in one vmapped call.
 
     Args:
@@ -96,7 +96,8 @@ def align_pairs(batch_src: PointCloud, batch_tgt: NormalCloud,
         return align_point_to_plane(
             s, t, g, dist_outlier_ratio=dist_outlier_ratio,
             max_iteration=max_iteration, exact_quantile=exact_quantile,
-            fixed_iterations=fixed_iterations)
+            fixed_iterations=fixed_iterations,
+            score_spacing_ref=score_spacing_ref)
 
     return jax.vmap(one)(batch_src, batch_tgt, guesses)
 
@@ -115,7 +116,8 @@ def align_pairs_sharded(batch_src: PointCloud, batch_tgt: NormalCloud,
                         max_iteration: int = 100,
                         exact_quantile: bool = False,
                         already_sharded: bool = False,
-                        fixed_iterations: int = 0):
+                        fixed_iterations: int = 0,
+                        score_spacing_ref: float = 0.0):
     """Shard the pair batch over ``mesh`` axis "submaps" and register all
     pairs in one jitted step.
 
@@ -134,7 +136,8 @@ def align_pairs_sharded(batch_src: PointCloud, batch_tgt: NormalCloud,
             return align_point_to_plane(
                 si, ti, gi, dist_outlier_ratio=dist_outlier_ratio,
                 max_iteration=max_iteration, exact_quantile=exact_quantile,
-                fixed_iterations=fixed_iterations)
+                fixed_iterations=fixed_iterations,
+                score_spacing_ref=score_spacing_ref)
 
         Ts, scores = jax.vmap(one)(s, t, g)
         mean_score = jax.lax.pmean(jnp.mean(scores), axis_name="submaps")
@@ -164,7 +167,8 @@ def align_pair_list(sources: Sequence[PointCloud],
                     max_iteration: int = 100,
                     exact_quantile: bool = False,
                     pad_to: Optional[int] = None,
-                    fixed_iterations: int = 0
+                    fixed_iterations: int = 0,
+                    score_spacing_ref: float = 0.0
                     ) -> Tuple[List[np.ndarray], List[float]]:
     """Convenience host API: list of pairs in → host transforms/scores out.
 
@@ -200,13 +204,15 @@ def align_pair_list(sources: Sequence[PointCloud],
             batch_src, batch_tgt, gs, mesh,
             dist_outlier_ratio=dist_outlier_ratio,
             max_iteration=max_iteration, exact_quantile=exact_quantile,
-            fixed_iterations=fixed_iterations)
+            fixed_iterations=fixed_iterations,
+            score_spacing_ref=score_spacing_ref)
     else:
         Ts, scores = align_pairs(
             batch_src, batch_tgt, gs,
             dist_outlier_ratio=dist_outlier_ratio,
             max_iteration=max_iteration, exact_quantile=exact_quantile,
-            fixed_iterations=fixed_iterations)
+            fixed_iterations=fixed_iterations,
+            score_spacing_ref=score_spacing_ref)
     Ts = np.asarray(Ts, dtype=np.float64)[:real]
     scores = np.asarray(scores, dtype=np.float64)[:real]
     return [T for T in Ts], [float(s) for s in scores]
