@@ -294,7 +294,7 @@ def eval_run(trajectory: str, with_backend: bool, matcher_type: int = 6,
     cfg.scan_matcher.type = matcher_type
     cfg.map_builder.front_end.scan_capacity = 16384
     cfg.map_builder.submap_capacity = 32768
-    if pipelined and matcher_type == 6:
+    if pipelined and matcher_type in (3, 5, 6):
         cfg.map_builder.pipelined = True
         # chunk 32 == pipeline_bench's chunk so the two share ONE compiled
         # chunk program (compiles through the remote tunnel are 30-60 s)
@@ -382,7 +382,7 @@ def main():
                                         ("square", False, 6, 0),
                                         ("eight", True, 6, 240),
                                         ("eight", False, 6, 240),
-                                        ("square", True, 3, 48)]:
+                                        ("square", True, 3, 0)]:
             _note(f"eval: {traj} backend={backend} matcher={mtype}...")
             try:
                 row = eval_run(traj, with_backend=backend,

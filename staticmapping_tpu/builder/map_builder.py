@@ -179,12 +179,12 @@ class MapBuilder:
                     "falling back to the sequential front end "
                     "(IMU extrapolation is host-side)", stacklevel=2)
         if self.options.pipelined and not self.options.use_imu:
-            if self.options.front_end.matcher_type != 6:
+            if self.options.front_end.matcher_type not in (3, 5, 6):
                 raise ValueError(
-                    "pipelined=True supports matcher_type 6 (IcpFast) only "
-                    f"— got matcher_type={self.options.front_end.matcher_type}. "
-                    "Use pipelined=False for matcher types 1/3/5 "
-                    "(registrators/interface.cc:139-173 registry).")
+                    "pipelined=True supports matcher types 3/5/6 — got "
+                    f"matcher_type={self.options.front_end.matcher_type}. "
+                    "Use pipelined=False for type 1 (IcpUsingPointMatcher; "
+                    "registrators/interface.cc:139-173 registry).")
             from .pipeline import DeviceFrontEnd
             self.front_end = DeviceFrontEnd(
                 self.options.front_end, filter_chain=filter_chain,

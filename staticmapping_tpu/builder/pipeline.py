@@ -93,8 +93,74 @@ def _unpack_chunk(qdata: jax.Array, meta: jax.Array):
     return meta[:, 0], xyz, inten, mask, meta[:, 2] > 0.0
 
 
+def _matcher_pack(opts: "FrontEndOptions"):
+    """(make_target, align) device functions for the configured matcher.
+
+    The chunked front end is matcher-agnostic: the scan step only needs a
+    target-build function (run inside the keyframe-switch ``lax.cond``)
+    and an align function — all three reference matcher families that are
+    lax-native plug in (interface.cc:139-173 registry):
+
+      type 6  IcpFast      normals target + point-to-plane ICP
+      type 5  Ndt          voxel-Gaussian field + GN on NDT weights
+      type 3  NdtWithGicp  NDT coarse stage chained into GICP refine
+              (ndt_gicp.cc:55-112: voxel filter 0.2, NDT res 1.0 /
+              eps 0.01 / 35 iters, ndt_score <= gate keeps the guess,
+              GICP 35 iters)
+    """
+    t = opts.matcher_type
+    if t == 6:
+        def make_target(src: PointCloud):
+            return estimate_normals(src.compact(),
+                                    leaf_size=opts.target_leaf_size)
+
+        def align(src, target, guess):
+            return align_point_to_plane(
+                src, target, guess,
+                dist_outlier_ratio=opts.dist_outlier_ratio,
+                max_iteration=opts.max_iteration, tile=opts.nn_tile)
+        return make_target, align
+    if t == 5:
+        from ..registration.ndt import align_ndt, build_ndt_map
+
+        def make_target(src: PointCloud):
+            return build_ndt_map(src, 1.0, min_points=4)
+
+        def align(src, target, guess):
+            return align_ndt(src, target, guess,
+                             max_iteration=min(opts.max_iteration, 35))
+        return make_target, align
+    if t == 3:
+        from ..ops.voxel import voxel_downsample
+        from ..registration.gicp import align_gicp, compute_point_normals
+        from ..registration.ndt import align_ndt, build_ndt_map
+        ndt_min_score = 0.2            # NdtWithGicp.ndt_min_score
+
+        def make_target(src: PointCloud):
+            f = voxel_downsample(src, 0.2)
+            return (build_ndt_map(f, 1.0, min_points=4),
+                    compute_point_normals(f, k=20))
+
+        def align(src, target, guess):
+            ndt_map, tgt_gicp = target
+            srcf = voxel_downsample(src, 0.2)
+            T_ndt, s_ndt = align_ndt(srcf, ndt_map, guess,
+                                     max_iteration=35)
+            # NDT-diverged → keep the caller's guess (ndt_gicp.cc:106-109)
+            ndt_guess = jnp.where(s_ndt >= ndt_min_score, T_ndt, guess)
+            src_g = compute_point_normals(srcf, k=20)
+            return align_gicp(src_g, tgt_gicp, ndt_guess,
+                              max_iteration=35)
+        return make_target, align
+    raise ValueError(
+        f"pipelined front end supports matcher types 3/5/6 — got {t} "
+        "(type 1 IcpUsingPointMatcher stays on the sequential path)")
+
+
 class _FeState(NamedTuple):
-    target: NormalCloud          # current ICP target (+normals)
+    target: NormalCloud          # current matcher target (pytree; type
+    #                              depends on matcher: NormalCloud /
+    #                              NdtMap / (NdtMap, GicpCloud))
     pose_target: jax.Array       # [4, 4] chunk-local
     prev_pose: jax.Array         # [4, 4] chunk-local (newest pose)
     prev_stamp: jax.Array        # scalar f32 (absolute seconds)
@@ -106,6 +172,7 @@ class _FeState(NamedTuple):
 def _make_step(chain: Optional[Callable], opts: FrontEndOptions):
     """Build the single-scan device step."""
     mf = opts.motion_filter
+    make_target, align_fn = _matcher_pack(opts)
 
     def step(state: _FeState, scan):
         stamp, xyz, inten, mask, valid = scan
@@ -139,10 +206,7 @@ def _make_step(chain: Optional[Callable], opts: FrontEndOptions):
         # front end: both are the predicted scan-to-scan delta)
         delta = se3.inverse(state.prev_pose) @ pred
         src = pc.motion_compensate(delta) if opts.motion_compensation else pc
-        T, score = align_point_to_plane(
-            src, state.target, guess,
-            dist_outlier_ratio=opts.dist_outlier_ratio,
-            max_iteration=opts.max_iteration, tile=opts.nn_tile)
+        T, score = align_fn(src, state.target, guess)
         if opts.motion_compensation and opts.use_average:
             T = se3.average_transforms(jnp.stack([T, guess]))
         pose_source = se3.normalize_rotation(state.pose_target @ T)
@@ -170,8 +234,7 @@ def _make_step(chain: Optional[Callable], opts: FrontEndOptions):
 
         new_target = jax.lax.cond(
             is_kf,
-            lambda _: estimate_normals(src.compact(),
-                                       leaf_size=opts.target_leaf_size),
+            lambda _: make_target(src),
             lambda _: state.target, None)
         new_pose_target = jnp.where(is_kf, pose_source, state.pose_target)
 
@@ -215,6 +278,7 @@ class DeviceFrontEnd:
         self.chunk_size = chunk_size
         self.filter_chain = filter_chain
         self._step = _make_step(filter_chain, self.options)
+        self._target_jit = jax.jit(_matcher_pack(self.options)[0])
         self._run_chunk = jax.jit(self._chunk_fn)
         self._chain_jit = (jax.jit(filter_chain.__call__)
                            if filter_chain is not None else None)
@@ -286,8 +350,7 @@ class DeviceFrontEnd:
                             mask=jnp.asarray(mask))
             if self._chain_jit is not None:
                 pc = self._chain_jit(pc)
-            target = _target_normals(pc,
-                                     leaf_size=self.options.target_leaf_size)
+            target = self._target_jit(pc)
             eye = jnp.eye(4, dtype=jnp.float32)
             self._base_stamp = stamp
             self.state = _FeState(

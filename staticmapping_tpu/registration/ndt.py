@@ -136,6 +136,9 @@ class _NdtState(NamedTuple):
     it: jax.Array
     converged: jax.Array
     score: jax.Array
+    best_T: jax.Array       # iterate with the highest NDT objective so far
+    best_obj: jax.Array
+    best_score: jax.Array
 
 
 @partial(jax.jit, static_argnames=("max_iteration", "direct7"))
@@ -190,6 +193,23 @@ def align_ndt(source: PointCloud, ndt_map: NdtMap, guess: jax.Array,
         lam = ndt_map.inv_cov[pos].reshape(-1, n_offsets, 3, 3)
         return mu, lam, hit.reshape(-1, n_offsets)
 
+    def eval_pose(T_iter):
+        """(objective, avg-dist score) of one iterate — the Magnusson
+        eq. 6.9 NDT likelihood Σ −d1·exp(−d2/2·qᵀΛq) up to the constant
+        −d1 > 0 factor."""
+        pts = se3.apply(T_iter @ guess, src)
+        mu, lam, hit = lookup(pts)
+        hit = hit & src_mask[:, None]
+        q = pts[:, None, :] - mu
+        lam_q = jnp.einsum("nkij,nkj->nki", lam, q)
+        md2 = jnp.sum(q * lam_q, axis=2)
+        obj = jnp.sum(jnp.where(hit, jnp.exp(-0.5 * d2 * md2), 0.0))
+        n_hit = jnp.maximum(jnp.sum(hit[:, 0]), 1)
+        avg_d = jnp.sum(jnp.where(hit[:, 0],
+                                  jnp.linalg.norm(q[:, 0, :], axis=1),
+                                  0.0)) / n_hit
+        return obj, jnp.exp(-avg_d)
+
     def body(state: _NdtState) -> _NdtState:
         pts = se3.apply(state.T_iter @ guess, src)           # [N, 3]
         mu, lam, hit = lookup(pts)
@@ -197,6 +217,12 @@ def align_ndt(source: PointCloud, ndt_map: NdtMap, guess: jax.Array,
         q = pts[:, None, :] - mu                             # [N, K, 3]
         lam_q = jnp.einsum("nkij,nkj->nki", lam, q)          # Λq
         md2 = jnp.sum(q * lam_q, axis=2)                     # qᵀΛq [N, K]
+        # objective of the CURRENT iterate — tracked so the final answer
+        # is the best-seen pose, not the last: plain GN on this field has
+        # no line search (pclomp's More-Thuente guarantees monotone
+        # improvement; without it a bad Hessian step can re-lock onto a
+        # worse 1-voxel-aliased optimum and "converge" there)
+        obj_here = jnp.sum(jnp.where(hit, jnp.exp(-0.5 * d2 * md2), 0.0))
         # classic NDT Gaussian robust weight (Magnusson 2009 eq. 6.12;
         # pclomp updateDerivatives e_x_cov_x scaling).  gauss_d1 < 0 by
         # construction, so −d1·d2·e is the POSITIVE IRLS weight.
@@ -227,6 +253,18 @@ def align_ndt(source: PointCloud, ndt_map: NdtMap, guess: jax.Array,
         dx = jnp.linalg.solve(A, b_vec[:, None])[:, 0] * step_damping
         finite = jnp.all(jnp.isfinite(dx))
         dx = jnp.where(finite, dx, jnp.zeros_like(dx))
+        # trust region: pclomp bounds each Newton update through a
+        # More-Thuente line search with step_size 0.1 m (ndt_omp.h default,
+        # ndt_gicp.cc uses it unchanged); an unclamped GN step on a
+        # near-singular Gaussian-field Hessian can jump metres and re-lock
+        # far away (observed: 8 m wander from a perfect initial guess).
+        # Same bound here, on translation and rotation blocks separately.
+        t_n = jnp.linalg.norm(dx[3:])
+        r_n = jnp.linalg.norm(dx[:3])
+        scale = jnp.minimum(
+            jnp.minimum(1.0, 0.1 / jnp.maximum(t_n, 1e-9)),
+            jnp.minimum(1.0, 0.05 / jnp.maximum(r_n, 1e-9)))
+        dx = dx * scale
         dT = se3.from_rt(se3.axis_angle_to_matrix(dx[:3]), dx[3:])
         T_new = dT @ state.T_iter
 
@@ -241,15 +279,26 @@ def align_ndt(source: PointCloud, ndt_map: NdtMap, guess: jax.Array,
                                   jnp.linalg.norm(q[:, 0, :], axis=1),
                                   0.0)) / n_hit
         score = jnp.exp(-avg_d)
-        return _NdtState(T_new, state.it + 1, converged, score)
+        better = obj_here > state.best_obj
+        best_T = jnp.where(better, state.T_iter, state.best_T)
+        best_obj = jnp.where(better, obj_here, state.best_obj)
+        best_score = jnp.where(better, score, state.best_score)
+        return _NdtState(T_new, state.it + 1, converged, score,
+                         best_T, best_obj, best_score)
 
     def cond(state):
         return (~state.converged) & (state.it < max_iteration)
 
-    init = _NdtState(jnp.eye(4, dtype=f32), jnp.int32(0),
-                     jnp.array(False), f32(0.0))
+    eye = jnp.eye(4, dtype=f32)
+    init = _NdtState(eye, jnp.int32(0), jnp.array(False), f32(0.0),
+                     eye, f32(-jnp.inf), f32(0.0))
     final = lax.while_loop(cond, body, init)
-    return final.T_iter @ guess, final.score
+    # give the last iterate its evaluation, then return the best-seen pose
+    obj_f, score_f = eval_pose(final.T_iter)
+    last_wins = obj_f > final.best_obj
+    T_best = jnp.where(last_wins, final.T_iter, final.best_T)
+    s_best = jnp.where(last_wins, score_f, final.best_score)
+    return T_best @ guess, s_best
 
 
 def _hat_batch(v: jax.Array) -> jax.Array:

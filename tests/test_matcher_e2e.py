@@ -24,22 +24,37 @@ from staticmapping_tpu.io import synthetic
 
 def _options(matcher_type: int,
              scan_capacity: int = 8192) -> MapBuilderOptions:
+    # motion_compensation off: the synthetic renderer emits instantaneous
+    # snapshots, so per-point de-skewing DISTORTS them (config/synthetic.xml
+    # disables it for the same reason); NDT is the most sensitive to it
     fe = FrontEndOptions(scan_capacity=scan_capacity, nn_tile=512,
-                         max_iteration=40, matcher_type=matcher_type)
+                         max_iteration=40, matcher_type=matcher_type,
+                         motion_compensation=False)
     return MapBuilderOptions(front_end=fe,
                              submap=SubmapOptions(frame_count=2),
                              submap_capacity=2 * scan_capacity)
 
 
 def _run(matcher_type: int, n_scans: int = 16, step: float = 0.5,
-         max_points: int = 6000, max_range: float = 70.0):
+         max_points: int = 6000, max_range: float = 70.0,
+         pipelined: bool = False):
     scans, gt = synthetic.make_sequence(
         n_scans=n_scans, seed=4, trajectory="straight", step=step,
         max_points=max_points, max_range=max_range)
     cap = 8192 if max_points <= 8192 else 32768
-    mb = MapBuilder(_options(matcher_type, scan_capacity=cap))
+    opts = _options(matcher_type, scan_capacity=cap)
+    if pipelined:
+        opts.pipelined = True
+        opts.pipeline_chunk = 8
+        opts.pair_match_batch = 4
+    mb = MapBuilder(opts)
     for i, pts in enumerate(scans):
         mb.insert_pointcloud(i * 0.1, pts)
+    if pipelined:
+        mb.options.output_kitti_pose = False
+        mb.options.output_mrvm = False
+        mb.options.output_direct_combined_map = False
+        mb.finish()
     frames = [f for s in mb.trajectory for f in s.frames]
     assert len(frames) >= n_scans // 3, f"too few keyframes: {len(frames)}"
     est = np.stack([f.global_pose for f in frames])
@@ -70,8 +85,21 @@ def test_ndt_e2e():
     assert ate < 0.6, f"Ndt e2e ATE {ate}"
 
 
-def test_pipelined_rejects_non_fasticp():
-    opts = _options(3)
+def test_pipelined_ndt_gicp_e2e():
+    """Type 3 through the chunked DEVICE front end (VERDICT r04 #8: the
+    NDT-GICP config had no fast path — 1.28 scans/s sequential)."""
+    ate = _run(3, pipelined=True)
+    assert ate < 0.5, f"pipelined NdtWithGicp e2e ATE {ate}"
+
+
+def test_pipelined_ndt_e2e():
+    """Type 5 through the chunked device front end."""
+    ate = _run(5, max_points=20000, max_range=40.0, pipelined=True)
+    assert ate < 0.6, f"pipelined Ndt e2e ATE {ate}"
+
+
+def test_pipelined_rejects_type1():
+    opts = _options(1)
     opts.pipelined = True
     with pytest.raises(ValueError, match="matcher_type"):
         MapBuilder(opts)
