@@ -123,28 +123,39 @@ def kernel_bench():
         n_scans=12, seed=0, trajectory="straight", step=0.5,
         max_points=20000)
 
+    import jax as _jax
+
     clouds = [cloud_lib.from_numpy(s, capacity=capacity) for s in scans]
 
-    # warm up / compile both stages
-    tgt = estimate_normals(clouds[0].compact(), leaf_size=leaf)
+    # the per-keyframe work of the front end — normals(target) + align —
+    # as ONE jitted scan over a stack of K pairs, so the measurement is
+    # device throughput, not host dispatch rate (per-call dispatch through
+    # the remote-TPU tunnel costs ~3-4 ms, which capped the old per-call
+    # loop at ~140 pairs/s while the device does each pair in ~3.5 ms)
+    K = len(clouds) - 1
+    tstack = _jax.tree.map(lambda *xs: jnp.stack(xs), *clouds[:-1])
+    sstack = _jax.tree.map(lambda *xs: jnp.stack(xs), *clouds[1:])
     guess = jnp.eye(4, dtype=jnp.float32)
-    T, score = align_point_to_plane(clouds[1], tgt, guess, tile=1024)
-    np.asarray(score)   # block_until_ready is a NO-OP on the axon backend
 
-    # timed loop: normals(target) + align per scan — the per-keyframe work
-    # of the front end (map_builder.cc ScanMatchProcessing hot path).
-    # Dispatches run async; ONE readback at the end drains the device
-    # queue so dt covers true device time, not just dispatch.
-    n_iter = 10
+    @_jax.jit
+    def run_pairs(ts, ss):
+        def one(carry, pair):
+            t, s = pair
+            tgt = estimate_normals(t.compact(), leaf_size=leaf)
+            T, score = align_point_to_plane(s, tgt, guess, tile=1024)
+            return carry + score, T
+
+        return _jax.lax.scan(one, jnp.float32(0.0), (ts, ss))
+
+    acc, Ts = run_pairs(tstack, sstack)
+    np.asarray(acc)   # block_until_ready is a NO-OP on the axon backend
+    reps = 4
     t0 = time.perf_counter()
-    for i in range(n_iter):
-        src = clouds[1 + (i % (len(clouds) - 2))]
-        tgt_i = estimate_normals(clouds[i % (len(clouds) - 2)].compact(),
-                                 leaf_size=leaf)
-        T, score = align_point_to_plane(src, tgt_i, guess, tile=1024)
-    np.asarray(score)
+    for _ in range(reps):
+        acc, Ts = run_pairs(tstack, sstack)
+    np.asarray(acc)
     dt = time.perf_counter() - t0
-    return n_iter / dt
+    return reps * K / dt
 
 
 def kernel_mfu():
@@ -311,7 +322,7 @@ def eval_run(trajectory: str, with_backend: bool, matcher_type: int = 6,
     t1 = _time.perf_counter()
     mb.finish()
     t2 = _time.perf_counter()
-    return {
+    row = {
         "trajectory": trajectory,
         "backend": bool(with_backend),
         "matcher_type": matcher_type,
@@ -321,6 +332,15 @@ def eval_run(trajectory: str, with_backend: bool, matcher_type: int = 6,
         "ate_m": None if (a := _ate(mb, gt_poses)) is None else round(a, 3),
         "n_keyframes": sum(len(s.frames) for s in mb.trajectory),
     }
+    if with_backend and mb.backend is not None:
+        # loop-closure evidence: accepted loop edges, with the M2DP
+        # descriptor gate in the path (config/synthetic.xml
+        # use_descriptor=true — VERDICT r04 #6)
+        row["loop_edges"] = getattr(mb.backend, "loop_edge_count", None)
+        ld = getattr(mb.backend, "loop_detector", None)
+        if ld is not None:
+            row["descriptor_gated"] = bool(ld.settings.use_descriptor)
+    return row
 
 
 def _note(msg):

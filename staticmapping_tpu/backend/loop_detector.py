@@ -60,6 +60,16 @@ class LoopDetectorSettings:
     fixed_iterations: int = 40
     # density normalization anchor (see icp_fast.target_spacing; 0 = raw)
     score_spacing_ref: float = 0.0
+    # independent-family acceptance gate: every candidate edge that passes
+    # the point-to-plane score must ALSO pass a GICP re-verification at
+    # this raw exp(−fitness) score (0 disables).  Measured on the
+    # synthetic world (tools/experiment_verifier.py, r05): the
+    # shared-family verifier alone false-accepts 12/12 disjoint-area
+    # pairs at its production threshold, NDT 12/12 — GICP separates
+    # perfectly (true 12/12 at ≥0.644, false 0/12 at ≤0.531).  This is
+    # the re-expression of the reference's use of a DIFFERENT library for
+    # loop verification (back_end/loop_detector.cc:304).
+    independent_gate_min_score: float = 0.55
 
 
 @dataclasses.dataclass
@@ -92,6 +102,7 @@ class LoopDetector:
         self.search_window: Optional[Tuple[int, int]] = None
         from collections import OrderedDict
         self._target_cache = OrderedDict()    # index -> NormalCloud (LRU)
+        self._gicp_cache = OrderedDict()      # index -> GicpCloud (LRU)
         self.mesh = mesh                      # optional device mesh for
         # sharded candidate registration (parallel.align_pairs)
 
@@ -302,7 +313,50 @@ class LoopDetector:
                         np.asarray(Ts[best], dtype=np.float64)),
                     score=-math.log(max(score, 1e-9)),
                     init_guess=guesses[k * G]))
+        if edges and s.independent_gate_min_score > 0:
+            edges = self._independent_gate(edges)
         return edges
+
+    def _gicp_cloud(self, index: int):
+        """Per-submap GicpCloud (k-NN disk normals), LRU-cached — the
+        independent gate's representation."""
+        from ..registration.gicp import compute_point_normals
+        if index in self._gicp_cache:
+            self._gicp_cache.move_to_end(index)
+        else:
+            self._gicp_cache[index] = compute_point_normals(
+                self.frames[index].cloud, k=20)
+            while len(self._gicp_cache) > 16:
+                self._gicp_cache.popitem(last=False)
+        return self._gicp_cache[index]
+
+    def _independent_gate(self, edges: List[LoopEdge]) -> List[LoopEdge]:
+        """Re-verify accepted edges with a genuinely different
+        registration family (GICP disk-covariance ICP) and drop edges it
+        rejects — see ``independent_gate_min_score``.  The edge TRANSFORM
+        stays the point-to-plane result (more accurate when true: 2.7 cm
+        vs experiment's drifted guesses); GICP contributes an independent
+        accept/reject vote from a short refinement at that pose."""
+        from ..registration.gicp import align_gicp
+        s = self.settings
+        kept = []
+        import os as _os
+        for e in edges:
+            src_g = self._gicp_cloud(e.source_index)
+            tgt_g = self._gicp_cloud(e.target_index)
+            _, g_score = align_gicp(
+                src_g, tgt_g,
+                jnp.asarray(e.transform, dtype=jnp.float32),
+                max_iteration=8)
+            if _os.environ.get("STATICMAPPING_LOOP_DEBUG"):
+                import sys as _sys
+                print(f"[loop] gicp gate {e.target_index}->"
+                      f"{e.source_index}: {float(g_score):.3f} "
+                      f"(min {s.independent_gate_min_score})",
+                      file=_sys.stderr, flush=True)
+            if float(g_score) > s.independent_gate_min_score:
+                kept.append(e)
+        return kept
 
     def _check_result(self, result: DetectResult) -> bool:
         """CheckResult parity (cc:320-345): all edges must agree on the
