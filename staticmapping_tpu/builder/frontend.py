@@ -65,6 +65,9 @@ class FrontEndOptions:
     scan_capacity: int = 32768
     target_leaf_size: int = 8
     nn_tile: int = 1024
+    # chunked front end only: gyro-driven rotation prediction in the
+    # device scan step (builder/pipeline.py; pose_extrapolator.cc:177-197)
+    use_imu: bool = False
 
 
 @jax.jit

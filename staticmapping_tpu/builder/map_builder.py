@@ -165,20 +165,10 @@ class MapBuilder:
         # use_imu selects the IMU-driven extrapolator mode
         # (map_builder.cc:68-75: InitialWithImu vs InitialSimpleCTRV)
         extrapolator = None
-        if self.options.use_imu:
+        if self.options.use_imu and not self.options.pipelined:
             from .pose_extrapolator import PoseExtrapolator
             extrapolator = PoseExtrapolator(mode=PoseExtrapolator.MODE_IMU)
-            if self.options.pipelined:
-                # the chunked device front end carries a CTRV state only —
-                # IMU-driven extrapolation needs the host extrapolator, so
-                # the combination falls back to the sequential front end
-                # (LOUDLY: a silent fallback hid this in round 3)
-                import warnings
-                warnings.warn(
-                    "pipelined=True is unavailable with use_imu=True; "
-                    "falling back to the sequential front end "
-                    "(IMU extrapolation is host-side)", stacklevel=2)
-        if self.options.pipelined and not self.options.use_imu:
+        if self.options.pipelined:
             if self.options.front_end.matcher_type not in (3, 5, 6):
                 raise ValueError(
                     "pipelined=True supports matcher types 3/5/6 — got "
@@ -186,6 +176,9 @@ class MapBuilder:
                     "Use pipelined=False for type 1 (IcpUsingPointMatcher; "
                     "registrators/interface.cc:139-173 registry).")
             from .pipeline import DeviceFrontEnd
+            # IMU + pipelined is supported since r05: gyro samples ride
+            # with each chunk and drive the rotation prediction on device
+            self.options.front_end.use_imu = self.options.use_imu
             self.front_end = DeviceFrontEnd(
                 self.options.front_end, filter_chain=filter_chain,
                 chunk_size=self.options.pipeline_chunk)
@@ -327,7 +320,10 @@ class MapBuilder:
         w = R @ np.asarray(angular_velocity, dtype=np.float64)
         a = R @ np.asarray(linear_acceleration, dtype=np.float64)
         self.data_collector.add_imu(ImuMsg(stamp, w, a))
-        self.front_end.extrapolator.add_imu_data(ImuData(stamp, w, a))
+        if hasattr(self.front_end, "add_imu"):          # chunked device FE
+            self.front_end.add_imu(stamp, w)
+        else:
+            self.front_end.extrapolator.add_imu_data(ImuData(stamp, w, a))
 
     def insert_odom(self, stamp: float, pose: np.ndarray) -> None:
         """InsertOdomMsg parity (map_builder.cc:194-205) — for precise

@@ -61,12 +61,21 @@ _QXYZ = 256.0     # 1/256 m xyz resolution, ±127.9 m range
 _QINT = 64.0      # 1/64 intensity resolution, ±511 range
 
 
-def _pack_chunk(buf, base_stamp: float, K: int, cap: int):
-    """[(stamp, points)] → (int16 [K, cap, 4], f32 [K, 4] meta).
+# max IMU samples carried per scan slot (100-200 Hz IMU vs 10 Hz scans
+# → 10-20 samples; 32 covers slow scan rates)
+_IMU_PER_SCAN = 32
 
-    meta rows: (chunk-relative stamp, n_valid, valid flag, 0)."""
+
+def _pack_chunk(buf, base_stamp: float, K: int, cap: int, imu=None):
+    """[(stamp, points)] → (int16 [K, cap, 4], f32 [K, 4] meta,
+    f32 [K, J, 4] imu).
+
+    meta rows: (chunk-relative stamp, n_valid, valid flag, 0).
+    imu rows per scan: (dt_sample, wx, wy, wz) for the gyro samples in
+    (prev_stamp, stamp], zero-padded (dt 0 = no sample)."""
     q = np.zeros((K, cap, 4), dtype=np.int16)
     meta = np.zeros((K, 4), dtype=np.float32)
+    imu_out = np.zeros((K, _IMU_PER_SCAN, 4), dtype=np.float32)
     for i, (st, pts) in enumerate(buf):
         n = min(len(pts), cap)
         q[i, :n, :3] = np.clip(np.round(pts[:n, :3] * _QXYZ),
@@ -77,7 +86,10 @@ def _pack_chunk(buf, base_stamp: float, K: int, cap: int):
         meta[i, 0] = st - base_stamp
         meta[i, 1] = n
         meta[i, 2] = 1.0
-    return q, meta
+        if imu is not None and imu[i]:
+            rows = imu[i][-_IMU_PER_SCAN:]
+            imu_out[i, :len(rows)] = rows
+    return q, meta, imu_out
 
 
 def _unpack_chunk(qdata: jax.Array, meta: jax.Array):
@@ -175,7 +187,7 @@ def _make_step(chain: Optional[Callable], opts: FrontEndOptions):
     make_target, align_fn = _matcher_pack(opts)
 
     def step(state: _FeState, scan):
-        stamp, xyz, inten, mask, valid = scan
+        stamp, xyz, inten, mask, valid, imu = scan
         n_valid = jnp.maximum(jnp.sum(mask), 1)
         factor = jnp.where(
             mask, jnp.cumsum(mask.astype(jnp.float32)) - 1.0, 0.0) / n_valid
@@ -191,6 +203,17 @@ def _make_step(chain: Optional[Callable], opts: FrontEndOptions):
         # clamp cuts off.
         dt = jnp.maximum(stamp - state.prev_stamp, 0.0)
         ang = state.vel_ang * dt
+        # IMU mode (pose_extrapolator.cc:177-197 / imu_tracker.cc:39-47
+        # re-expressed on device): the rotation prediction comes from the
+        # gyro integral over this scan interval instead of the CTRV yaw
+        # rate — per-scan samples ride in with the chunk as (dt, ω) rows.
+        # Translation stays CTRV (the reference also takes linear motion
+        # from scan matching; accel only tracks gravity).  Scans with no
+        # samples fall back to CTRV per scan (input fault tolerance).
+        if opts.use_imu:
+            gyro_ang = jnp.sum(imu[:, 1:4] * imu[:, 0:1], axis=0)
+            has_imu = jnp.sum(imu[:, 0]) > 0
+            ang = jnp.where(has_imu, gyro_ang, ang)
         ang_n = jnp.linalg.norm(ang)
         ang = ang * (jnp.minimum(ang_n, 0.5) / jnp.maximum(ang_n, 1e-9))
         step_t = state.vel_lin * dt
@@ -303,9 +326,43 @@ class DeviceFrontEnd:
         self._inflight: List[tuple] = []   # (stamps_abs, valid, poses, scores, kf, sources)
         self._staged: List[tuple] = []     # (stamps_abs, valid, future)
         self._stage_pool = ThreadPoolExecutor(max_workers=1)
+        # IMU routing (use_imu): gyro samples buffered on the host and
+        # shipped with each chunk, partitioned per scan interval
+        self.use_imu = bool(getattr(self.options, "use_imu", False))
+        self._imu_buf: List[tuple] = []    # (stamp, wx, wy, wz) sorted
+        self._prev_scan_stamp: Optional[float] = None
 
     # ------------------------------------------------------------------
-    def _chunk_fn(self, state: _FeState, qdata, meta):
+    def add_imu(self, stamp: float, angular_velocity) -> None:
+        """Buffer one gyro sample (InsertImuMsg route for the chunked
+        front end — the host extrapolator path needs per-scan sync)."""
+        w = np.asarray(angular_velocity, dtype=np.float64)
+        self._imu_buf.append((float(stamp), w[0], w[1], w[2]))
+
+    def _take_imu(self, scan_stamps: List[float]):
+        """Partition buffered samples into per-scan (dt, ω) row lists for
+        the intervals (prev_scan, scan]."""
+        out = []
+        prev = self._prev_scan_stamp
+        buf = self._imu_buf
+        j = 0
+        for st in scan_stamps:
+            rows = []
+            last_t = prev if prev is not None else (buf[j][0] - 1e-3
+                                                    if j < len(buf) else st)
+            while j < len(buf) and buf[j][0] <= st:
+                t, wx, wy, wz = buf[j]
+                rows.append((max(t - last_t, 0.0), wx, wy, wz))
+                last_t = t
+                j += 1
+            out.append(rows)
+            prev = st
+        self._imu_buf = buf[j:]
+        self._prev_scan_stamp = scan_stamps[-1] if scan_stamps else prev
+        return out
+
+    # ------------------------------------------------------------------
+    def _chunk_fn(self, state: _FeState, qdata, meta, imu_arr):
         # dequantize the packed int16 chunk on device (see _pack_chunk)
         stamps, xyz, inten, mask, valid = _unpack_chunk(qdata, meta)
         # device-side rebase into the frame of the newest pose: keeps all
@@ -321,7 +378,7 @@ class DeviceFrontEnd:
             # chunk frame (vel_ang is body-relative, frame-invariant)
             vel_lin=rebase_inv[:3, :3] @ state.vel_lin)
         return jax.lax.scan(self._step, state,
-                            (stamps, xyz, inten, mask, valid))
+                            (stamps, xyz, inten, mask, valid, imu_arr))
 
     def _pad_cloud(self, points: np.ndarray):
         cap = self.options.scan_capacity
@@ -398,10 +455,11 @@ class DeviceFrontEnd:
         valid = np.zeros((K,), dtype=bool)
         valid[:len(buf)] = True
         base = self._base_stamp
+        imu = self._take_imu(stamps_abs) if self.use_imu else None
 
         def job():
-            q, meta = _pack_chunk(buf, base, K, cap)
-            return jnp.asarray(q), jnp.asarray(meta)
+            q, meta, imu_arr = _pack_chunk(buf, base, K, cap, imu)
+            return jnp.asarray(q), jnp.asarray(meta), jnp.asarray(imu_arr)
 
         self._staged.append((stamps_abs, valid,
                              self._stage_pool.submit(job)))
@@ -412,9 +470,9 @@ class DeviceFrontEnd:
         must happen on the main thread, in order."""
         while self._staged and (force or len(self._staged) > 1):
             stamps_abs, valid, fut = self._staged.pop(0)
-            qdata, meta = fut.result()
+            qdata, meta, imu_arr = fut.result()
             new_state, (poses, scores, kf, sources) = self._run_chunk(
-                self.state, qdata, meta)
+                self.state, qdata, meta, imu_arr)
             self.state = new_state
             self._inflight.append((stamps_abs, valid, poses, scores, kf,
                                    sources))
