@@ -319,13 +319,18 @@ class LoopDetector:
 
     def _gicp_cloud(self, index: int):
         """Per-submap GicpCloud (k-NN disk normals), LRU-cached — the
-        independent gate's representation."""
+        independent gate's representation.  Built on a 4× slot stride of
+        the (voxel-compacted) submap cloud: the k-NN normal build is
+        O(N²) and the gate is an accept/reject vote, not a fine
+        registration — ~8k points discriminate as well as 32k
+        (tools/experiment_verifier.py used 16k-cap clouds)."""
         from ..registration.gicp import compute_point_normals
         if index in self._gicp_cache:
             self._gicp_cache.move_to_end(index)
         else:
-            self._gicp_cache[index] = compute_point_normals(
-                self.frames[index].cloud, k=20)
+            thin = jax.tree.map(lambda x: x[::4],
+                                self.frames[index].cloud)
+            self._gicp_cache[index] = compute_point_normals(thin, k=20)
             while len(self._gicp_cache) > 16:
                 self._gicp_cache.popitem(last=False)
         return self._gicp_cache[index]
@@ -339,23 +344,27 @@ class LoopDetector:
         accept/reject vote from a short refinement at that pose."""
         from ..registration.gicp import align_gicp
         s = self.settings
-        kept = []
         import os as _os
-        for e in edges:
-            src_g = self._gicp_cloud(e.source_index)
-            tgt_g = self._gicp_cloud(e.target_index)
-            _, g_score = align_gicp(
-                src_g, tgt_g,
-                jnp.asarray(e.transform, dtype=jnp.float32),
-                max_iteration=8)
-            if _os.environ.get("STATICMAPPING_LOOP_DEBUG"):
-                import sys as _sys
-                print(f"[loop] gicp gate {e.target_index}->"
-                      f"{e.source_index}: {float(g_score):.3f} "
-                      f"(min {s.independent_gate_min_score})",
-                      file=_sys.stderr, flush=True)
-            if float(g_score) > s.independent_gate_min_score:
-                kept.append(e)
+        # all aligns dispatch async; ONE packed readback for the scores —
+        # a per-edge float() sync would block the host on the whole device
+        # queue (including in-flight front-end chunks) per edge
+        # 2 m correspondence gate: the experiment's calibrated regime —
+        # a TIGHT gate is what makes disjoint-area pairs score low
+        outs = [align_gicp(
+            self._gicp_cloud(e.source_index),
+            self._gicp_cloud(e.target_index),
+            jnp.asarray(e.transform, dtype=jnp.float32),
+            max_correspondence_dist=2.0,
+            max_iteration=8)[1] for e in edges]
+        scores = np.asarray(jnp.stack(outs))
+        kept = [e for e, g in zip(edges, scores)
+                if float(g) > s.independent_gate_min_score]
+        if _os.environ.get("STATICMAPPING_LOOP_DEBUG"):
+            import sys as _sys
+            print(f"[loop] gicp gate: "
+                  f"{[round(float(g), 3) for g in scores]} "
+                  f"(min {s.independent_gate_min_score}) kept "
+                  f"{len(kept)}/{len(edges)}", file=_sys.stderr, flush=True)
         return kept
 
     def _check_result(self, result: DetectResult) -> bool:

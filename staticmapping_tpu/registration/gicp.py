@@ -95,11 +95,14 @@ class _GicpState(NamedTuple):
     it: jax.Array
     converged: jax.Array
     score: jax.Array
+    best_T: jax.Array       # iterate with the best fitness seen so far
+    best_obj: jax.Array
+    best_score: jax.Array
 
 
 @partial(jax.jit, static_argnames=("max_iteration",))
 def align_gicp(source: GicpCloud, target: GicpCloud, guess: jax.Array,
-               max_correspondence_dist: float = 2.0,
+               max_correspondence_dist: float = 1.0e3,
                rotation_epsilon: float = 1e-3,
                max_iteration: int = 35):
     """Align ``source`` onto ``target``; returns ``(T [4,4], score)``.
@@ -131,6 +134,19 @@ def align_gicp(source: GicpCloud, target: GicpCloud, guess: jax.Array,
         W = _disk_cov_sum_inv(n_a_rot, n_b) * keep[:, None, None]
         d = pts - q                                     # [N, 3]
         Wd = jnp.einsum("nij,nj->ni", W, d)
+        # objective of the CURRENT iterate: the fitness score with a
+        # match-count floor (tracked so the answer is the best-seen pose —
+        # plain GN without PCL's line search can step OFF a near-perfect
+        # guess and re-lock ~1 m away; observed r05 on square-corner
+        # pairs: 0.13 m guess error → 0.83 m "converged".  The mean
+        # WEIGHTED residual cannot arbitrate across poses — the trimmed
+        # correspondence set changes with the pose — but the plain
+        # avg-distance fitness ranks the true pose above the aliased one:
+        # 0.62 vs 0.49 measured on the failing pair).
+        kept_n = jnp.maximum(jnp.sum(keep), 1.0)
+        obj_here = jnp.exp(
+            -jnp.sum(jnp.sqrt(jnp.maximum(d2, 0.0)) * keep) / kept_n) \
+            - 10.0 * (kept_n < 32)
 
         # J = [−[p]ₓ | I]; JᵀWd rotation block = p × Wd
         rot_g = jnp.cross(pts, Wd)
@@ -152,16 +168,38 @@ def align_gicp(source: GicpCloud, target: GicpCloud, guess: jax.Array,
         converged = jnp.linalg.norm(dx) < rotation_epsilon
         kept = jnp.maximum(jnp.sum(keep), 1.0)
         avg_d = jnp.sum(jnp.sqrt(jnp.maximum(d2, 0.0)) * keep) / kept
-        return _GicpState(T_new, state.it + 1, converged,
-                          jnp.exp(-avg_d))
+        score = jnp.exp(-avg_d)
+        better = obj_here > state.best_obj
+        best_T = jnp.where(better, state.T_iter, state.best_T)
+        best_obj = jnp.where(better, obj_here, state.best_obj)
+        best_score = jnp.where(better, score, state.best_score)
+        return _GicpState(T_new, state.it + 1, converged, score,
+                          best_T, best_obj, best_score)
 
     def cond(state):
         return (~state.converged) & (state.it < max_iteration)
 
-    init = _GicpState(jnp.eye(4, dtype=f32), jnp.int32(0),
-                      jnp.array(False), f32(0.0))
+    def eval_pose(T_iter):
+        T = T_iter @ guess
+        pts = se3.apply(T, src0)
+        d2, idx, sel = nn_search.nearest_select(pts, tgt_pts, target.mask,
+                                                tgt_payload)
+        keep = (src_mask & (d2 <= max_d2)).astype(f32)
+        kept_n = jnp.maximum(jnp.sum(keep), 1.0)
+        avg_d = jnp.sum(jnp.sqrt(jnp.maximum(d2, 0.0)) * keep) / kept_n
+        score = jnp.exp(-avg_d)
+        return score - 10.0 * (kept_n < 32), score
+
+    eye4 = jnp.eye(4, dtype=f32)
+    init = _GicpState(eye4, jnp.int32(0), jnp.array(False), f32(0.0),
+                      eye4, f32(-jnp.inf), f32(0.0))
     final = lax.while_loop(cond, body, init)
-    return final.T_iter @ guess, final.score
+    # evaluate the last iterate too, then return the best-seen pose
+    obj_f, score_f = eval_pose(final.T_iter)
+    last_wins = obj_f > final.best_obj
+    T_best = jnp.where(last_wins, final.T_iter, final.best_T)
+    s_best = jnp.where(last_wins, score_f, final.best_score)
+    return T_best @ guess, s_best
 
 
 def _hat(v: jax.Array) -> jax.Array:
@@ -178,7 +216,12 @@ class Gicp:
     """Stateful plane-to-plane matcher (PCL GICP role in type 3)."""
 
     knn: int = 20
-    max_correspondence_dist: float = 2.0
+    # PCL's Registration default is effectively unlimited (the reference
+    # never calls setMaxCorrespondenceDistance, ndt_gicp.cc:46-52); a
+    # tight gate rejects exactly the far-field matches whose leverage
+    # corrects a rotated initial guess (r05: corner scans locked 0.65 m
+    # off with a 2 m gate, exact with this one)
+    max_correspondence_dist: float = 1.0e3
     rotation_epsilon: float = 1e-3
     max_iteration: int = 35
 

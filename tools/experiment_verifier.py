@@ -106,7 +106,8 @@ def _verify_ndt(src, tgt, guess):
 
 
 def _verify_gicp(src_g, tgt_g, guess):
-    T, s = align_gicp(src_g, tgt_g, jnp.asarray(guess), max_iteration=35)
+    T, s = align_gicp(src_g, tgt_g, jnp.asarray(guess), max_iteration=35,
+                      max_correspondence_dist=2.0)
     return np.asarray(T, dtype=np.float64), float(s)
 
 
