@@ -395,6 +395,8 @@ def main():
         try:
             eval_run("square", with_backend=True, matcher_type=6,
                      n_scans=92)
+            eval_run("square", with_backend=True, matcher_type=3,
+                     n_scans=24)
         except Exception as e:
             _note(f"warm pass failed: {type(e).__name__}: {e}")
         evals = []
