@@ -643,13 +643,24 @@ class MapBuilder:
             if opts.output_mrvm else None
         combined = []
         n_submaps = len(self.trajectory)
+        # 1-deep MRVM pipeline: dispatch submap k's device ray-event sort,
+        # then merge submap k-1's readback on the host while k computes
+        mrvm_pending = None
+
+        def _mrvm_drain():
+            nonlocal mrvm_pending
+            if mrvm is not None and mrvm_pending is not None:
+                mrvm.consume(mrvm_pending)
+                mrvm_pending = None
+
         for s in self.trajectory:
             if s.cloud is not None:
                 global_cloud = s.cloud.transform(
                     jnp.asarray(s.global_pose, dtype=jnp.float32))
                 if mrvm is not None:
-                    mrvm.insert_point_cloud(global_cloud,
-                                            s.global_pose[:3, 3])
+                    h = mrvm.dispatch(global_cloud, s.global_pose[:3, 3])
+                    _mrvm_drain()
+                    mrvm_pending = h
                 if opts.output_direct_combined_map:
                     combined.append(np.asarray(
                         np.column_stack([
@@ -668,11 +679,13 @@ class MapBuilder:
                         os.path.join(out_dir, f"part_map_{part}.pcd"),
                         np.vstack(combined))
                     combined = []
+                _mrvm_drain()
                 if mrvm is not None and mrvm.num_voxels:
                     self._write_static(
                         os.path.join(out_dir,
                                      f"static_part_map_{part}.pcd"), mrvm)
                     mrvm = MultiResolutionVoxelMap(opts.mrvm_settings)
+        _mrvm_drain()
         if opts.separate_output:
             return
         if mrvm is not None and mrvm.num_voxels:

@@ -213,6 +213,14 @@ class MultiResolutionVoxelMap:
                            ) -> None:
         """InsertPointCloud parity (cc:54-123). ``cloud`` must already be in
         global/map coordinates; ``origin`` is the sensor position."""
+        self.consume(self.dispatch(cloud, origin))
+
+    def dispatch(self, cloud: PointCloud, origin: np.ndarray):
+        """Async half of :meth:`insert_point_cloud`: launch the device
+        ray-event program and return a handle for :meth:`consume`.  Lets
+        the map exporter overlap THIS submap's host-side hash merge with
+        the NEXT submap's device sort (the two halves are comparable in
+        cost — r05 breakdown)."""
         s = self.settings
         origin = np.asarray(origin, dtype=np.float32).copy()
         origin[2] += s.z_offset
@@ -221,6 +229,13 @@ class MultiResolutionVoxelMap:
             cloud.xyz, cloud.mask, cloud.intensity,
             jnp.asarray(origin), s.high_resolution,
             s.max_ray_steps, with_avg)
+        return packed, n_valid, with_avg
+
+    def consume(self, handle) -> None:
+        """Blocking half: read back the packed events and merge into the
+        host store."""
+        s = self.settings
+        packed, n_valid, with_avg = handle
         # valid segments occupy a PREFIX of the sorted event slots (invalid
         # keys sort to the end) — transfer only that prefix, bucket-rounded
         nv = int(n_valid)
