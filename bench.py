@@ -281,7 +281,7 @@ def _ate(mb, gt_poses, rate=10.0):
 
 def eval_run(trajectory: str, with_backend: bool, matcher_type: int = 6,
              pipelined: bool = True, n_scans: int = 0,
-             max_points: int = 15000):
+             max_points: int = 15000, seed: int = 7):
     """One end-to-end MapBuilder run on the synthetic world; returns a dict
     with scans/s (timed over the insert loop, warm) and final ATE.
 
@@ -314,7 +314,7 @@ def eval_run(trajectory: str, with_backend: bool, matcher_type: int = 6,
     mb = config_lib.build_map_builder(cfg, with_backend=with_backend)
 
     scans, gt_poses = synthetic.make_sequence(
-        n_scans=n_scans, trajectory=trajectory, seed=7,
+        n_scans=n_scans, trajectory=trajectory, seed=seed,
         max_points=max_points)
     t0 = _time.perf_counter()
     for i, pts in enumerate(scans):
@@ -326,6 +326,7 @@ def eval_run(trajectory: str, with_backend: bool, matcher_type: int = 6,
         "trajectory": trajectory,
         "backend": bool(with_backend),
         "matcher_type": matcher_type,
+        "seed": seed,
         "n_scans": len(scans),
         "scans_per_sec": round(len(scans) / (t1 - t0), 2),
         "finish_s": round(t2 - t1, 2),
@@ -397,29 +398,46 @@ def main():
                      n_scans=92)
             eval_run("square", with_backend=True, matcher_type=3,
                      n_scans=24)
+            eval_run("square", with_backend=True, matcher_type=5,
+                     n_scans=24)
         except Exception as e:
             _note(f"warm pass failed: {type(e).__name__}: {e}")
         evals = []
-        for traj, backend, mtype, n in [("square", True, 6, 0),
-                                        ("square", False, 6, 0),
-                                        ("eight", True, 6, 240),
-                                        ("eight", False, 6, 240),
-                                        ("square", True, 3, 0)]:
-            _note(f"eval: {traj} backend={backend} matcher={mtype}...")
+        # seeds 8/9 repeat the flagship square row on DIFFERENT worlds
+        # (make_world(seed)) — repeat/variance evidence (VERDICT r04 weak
+        # #7: one seed x one run headlined each round)
+        for traj, backend, mtype, n, seed in [
+                ("square", True, 6, 0, 7),
+                ("square", True, 6, 0, 8),
+                ("square", True, 6, 0, 9),
+                ("square", False, 6, 0, 7),
+                ("eight", True, 6, 240, 7),
+                ("eight", False, 6, 240, 7),
+                ("square", True, 3, 0, 7),
+                ("square", True, 5, 48, 7)]:
+            _note(f"eval: {traj} backend={backend} matcher={mtype} "
+                  f"seed={seed}...")
             try:
                 row = eval_run(traj, with_backend=backend,
-                               matcher_type=mtype, n_scans=n)
+                               matcher_type=mtype, n_scans=n, seed=seed)
             except Exception as e:
                 row = {"trajectory": traj, "backend": backend,
-                       "matcher_type": mtype,
+                       "matcher_type": mtype, "seed": seed,
                        "error": f"{type(e).__name__}: {e}"[:200]}
             evals.append(row)
         out["evals"] = evals
-        for row in evals:
-            if (row.get("trajectory") == "square" and row.get("backend")
-                    and row.get("matcher_type") == 6 and "error" not in row):
-                out["pipeline_backend_scans_per_sec"] = row["scans_per_sec"]
-                out["ate_m"] = row["ate_m"]
+        flag = [r for r in evals
+                if r.get("trajectory") == "square" and r.get("backend")
+                and r.get("matcher_type") == 6 and "error" not in r]
+        if flag:
+            out["pipeline_backend_scans_per_sec"] = flag[0]["scans_per_sec"]
+            out["ate_m"] = flag[0]["ate_m"]
+            ates = [r["ate_m"] for r in flag if r.get("ate_m") is not None]
+            if len(ates) > 1:
+                out["ate_m_seeds"] = {
+                    "values": ates,
+                    "mean": round(float(np.mean(ates)), 3),
+                    "max": round(float(np.max(ates)), 3)}
 
     # the equivalence check runs LAST: eagerly exercising the pallas +
     # scan paths can leave the remote-TPU terminal in a slow state that
