@@ -281,7 +281,8 @@ def _ate(mb, gt_poses, rate=10.0):
 
 def eval_run(trajectory: str, with_backend: bool, matcher_type: int = 6,
              pipelined: bool = True, n_scans: int = 0,
-             max_points: int = 15000, seed: int = 7):
+             max_points: int = 15000, seed: int = 7,
+             max_range: float = 70.0):
     """One end-to-end MapBuilder run on the synthetic world; returns a dict
     with scans/s (timed over the insert loop, warm) and final ATE.
 
@@ -315,7 +316,7 @@ def eval_run(trajectory: str, with_backend: bool, matcher_type: int = 6,
 
     scans, gt_poses = synthetic.make_sequence(
         n_scans=n_scans, trajectory=trajectory, seed=seed,
-        max_points=max_points)
+        max_points=max_points, max_range=max_range)
     t0 = _time.perf_counter()
     for i, pts in enumerate(scans):
         mb.insert_pointcloud(i * 0.1, pts)
@@ -399,7 +400,7 @@ def main():
             eval_run("square", with_backend=True, matcher_type=3,
                      n_scans=24)
             eval_run("square", with_backend=True, matcher_type=5,
-                     n_scans=24)
+                     n_scans=24, max_points=16000, max_range=40.0)
         except Exception as e:
             _note(f"warm pass failed: {type(e).__name__}: {e}")
         evals = []
@@ -417,9 +418,15 @@ def main():
                 ("square", True, 5, 48, 7)]:
             _note(f"eval: {traj} backend={backend} matcher={mtype} "
                   f"seed={seed}...")
+            # NDT forms voxel Gaussians only where >= 4 points land per
+            # 1 m cell (pclomp parity, min_points_per_voxel) — give it
+            # denser, shorter-range scans like its e2e test does
+            kw = {"max_points": 16000, "max_range": 40.0} \
+                if mtype == 5 else {}
             try:
                 row = eval_run(traj, with_backend=backend,
-                               matcher_type=mtype, n_scans=n, seed=seed)
+                               matcher_type=mtype, n_scans=n, seed=seed,
+                               **kw)
             except Exception as e:
                 row = {"trajectory": traj, "backend": backend,
                        "matcher_type": mtype, "seed": seed,

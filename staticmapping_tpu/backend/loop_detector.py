@@ -325,12 +325,19 @@ class LoopDetector:
         registration — ~8k points discriminate as well as 32k
         (tools/experiment_verifier.py used 16k-cap clouds)."""
         from ..registration.gicp import compute_point_normals
+        from ..registration.icp_fast import target_spacing
         if index in self._gicp_cache:
             self._gicp_cache.move_to_end(index)
         else:
             thin = jax.tree.map(lambda x: x[::4],
                                 self.frames[index].cloud)
-            self._gicp_cache[index] = compute_point_normals(thin, k=20)
+            gc = compute_point_normals(thin, k=20)
+            # median NN spacing of the THINNED cloud (device scalar, read
+            # back with the gate scores): thinning inflates spacing ~2x,
+            # which deflates exp(-avg_dist) — the gate normalizes by it so
+            # the calibrated threshold is density-portable (same
+            # score_spacing_ref mechanism as every other score)
+            self._gicp_cache[index] = (gc, target_spacing(gc))
             while len(self._gicp_cache) > 16:
                 self._gicp_cache.popitem(last=False)
         return self._gicp_cache[index]
@@ -350,13 +357,22 @@ class LoopDetector:
         # queue (including in-flight front-end chunks) per edge
         # 2 m correspondence gate: the experiment's calibrated regime —
         # a TIGHT gate is what makes disjoint-area pairs score low
-        outs = [align_gicp(
-            self._gicp_cloud(e.source_index),
-            self._gicp_cloud(e.target_index),
-            jnp.asarray(e.transform, dtype=jnp.float32),
-            max_correspondence_dist=2.0,
-            max_iteration=8)[1] for e in edges]
-        scores = np.asarray(jnp.stack(outs))
+        outs = []
+        spacings = []
+        for e in edges:
+            src_g, _ = self._gicp_cloud(e.source_index)
+            tgt_g, sp = self._gicp_cloud(e.target_index)
+            outs.append(align_gicp(
+                src_g, tgt_g, jnp.asarray(e.transform, dtype=jnp.float32),
+                max_correspondence_dist=2.0, max_iteration=8)[1])
+            spacings.append(sp)
+        scores = jnp.stack(outs)
+        if s.score_spacing_ref > 0:
+            # exp(-avg_d)^(ref/spacing) == exp(-avg_d * ref/spacing): the
+            # density-normalized fitness (icp_fast.target_spacing)
+            scores = scores ** (s.score_spacing_ref /
+                                jnp.maximum(jnp.stack(spacings), 1e-3))
+        scores = np.asarray(scores)
         kept = [e for e, g in zip(edges, scores)
                 if float(g) > s.independent_gate_min_score]
         if _os.environ.get("STATICMAPPING_LOOP_DEBUG"):

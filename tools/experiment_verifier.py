@@ -106,8 +106,15 @@ def _verify_ndt(src, tgt, guess):
 
 
 def _verify_gicp(src_g, tgt_g, guess):
-    T, s = align_gicp(src_g, tgt_g, jnp.asarray(guess), max_iteration=35,
+    """PRODUCTION-parity gate scoring (backend/loop_detector.py
+    _independent_gate): 4x-thinned clouds, k=20 disk normals, 8 refinement
+    iterations at the candidate pose, and the spacing-normalized fitness
+    (score ** (ref/spacing)) so the threshold is density-portable."""
+    from staticmapping_tpu.registration.icp_fast import target_spacing
+    T, s = align_gicp(src_g, tgt_g, jnp.asarray(guess), max_iteration=8,
                       max_correspondence_dist=2.0)
+    sp = jnp.maximum(target_spacing(tgt_g), 1e-3)
+    s = s ** (SPACING_REF / sp)
     return np.asarray(T, dtype=np.float64), float(s)
 
 
@@ -121,8 +128,9 @@ def main():
             return _verify_icp_pm(src, _target_normals(tgt, LEAF), guess)
         if name == "ndt":
             return _verify_ndt(src, tgt, guess)
-        return _verify_gicp(compute_point_normals(src, k=20),
-                            compute_point_normals(tgt, k=20), guess)
+        thin = lambda c: jax.tree.map(lambda x: x[::4], c)
+        return _verify_gicp(compute_point_normals(thin(src), k=20),
+                            compute_point_normals(thin(tgt), k=20), guess)
 
     results = {}
     for name in ("icp_pm", "ndt", "gicp"):
